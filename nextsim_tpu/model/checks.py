@@ -1,0 +1,75 @@
+"""Runtime invariant checking — the reference's de-facto test harness.
+
+`check_state_fast` mirrors checkFieldsFast (reference: model/finiteelement.cpp
+:14536-14655): common-sense min/max + NaN screening of the prognostic fields
+and an ice-speed ceiling of 5 m/s; on violation the caller exports a "crash"
+snapshot + restart and raises (same recovery contract as the reference).
+
+The device-side reduction produces a single violation bitmask so the host
+sync is one scalar per step when checking is enabled.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+
+# (field, min, max) — reference fe.cpp:14539-14558
+CELL_BOUNDS: List[Tuple[str, float, float]] = [
+    ("thick", 0.0, 50.0),
+    ("snow_thick", 0.0, 10.0),
+    ("conc", 0.0, 1.0),
+    ("damage", 0.0, 1.0),
+    ("ridge_ratio", 0.0, 1.0),
+    ("tice", -100.0, 0.0),
+    ("sst", -5.0, 50.0),
+    ("sss", 0.0, 50.0),
+]
+YOUNG_BOUNDS: List[Tuple[str, float, float]] = [
+    ("tsurf_young", -100.0, 0.0),
+    ("h_young", 0.0, 2.0),
+    ("hs_young", 0.0, 2.0),
+    ("conc_young", 0.0, 1.0),
+]
+MAX_SPEED = 5.0  # m/s (fe.cpp:14614)
+
+
+def violations(state, use_young_ice: bool = True) -> jnp.ndarray:
+    """Returns an int32 bitmask vector of per-check violation flags (device)."""
+    checks = CELL_BOUNDS + (YOUNG_BOUNDS if use_young_ice else [])
+    flags = []
+    for name, lo, hi in checks:
+        v = getattr(state, name)
+        bad = jnp.any(jnp.isnan(v)) | jnp.any(v < lo) | jnp.any(v > hi)
+        flags.append(bad)
+    speed = jnp.hypot(state.vt_u, state.vt_v)
+    flags.append(jnp.any(jnp.isnan(speed)) | jnp.any(speed > MAX_SPEED))
+    return jnp.stack(flags).astype(jnp.int32)
+
+
+def describe(flags, use_young_ice: bool = True) -> List[str]:
+    """Host-side: turn the violation bitmask into messages."""
+    checks = CELL_BOUNDS + (YOUNG_BOUNDS if use_young_ice else [])
+    names = [c[0] for c in checks] + ["velocity"]
+    out = []
+    import numpy as np
+
+    flags = np.asarray(flags)
+    for name, f in zip(names, flags):
+        if f:
+            out.append(f"checkFieldsFast failed for {name} (NaN or out of bounds)")
+    return out
+
+
+def field_stats(state) -> Dict[str, Tuple[float, float]]:
+    """min/max per field — debugging aid (reference checkFields verbose)."""
+    import numpy as np
+
+    out = {}
+    for name, *_ in CELL_BOUNDS + YOUNG_BOUNDS:
+        v = np.asarray(getattr(state, name))
+        out[name] = (float(np.nanmin(v)), float(np.nanmax(v)))
+    speed = np.hypot(np.asarray(state.vt_u), np.asarray(state.vt_v))
+    out["speed"] = (float(np.nanmin(speed)), float(np.nanmax(speed)))
+    return out

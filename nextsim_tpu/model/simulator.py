@@ -1,0 +1,208 @@
+"""The Simulator: init → step loop → outputs.
+
+The TPU-native counterpart of FiniteElement::run/init/step (reference:
+model/finiteelement.cpp:8450-8509, 6970-7088, 7963-8289). One jit-compiled
+`step_fn` advances the full model state one time step on device:
+
+    thermo (pointwise)  →  dynamics (momentum substeps)  →
+    transport (advection + ridging redistribution)       →  diagnostics
+
+The host loop handles forcing reloads, output scheduling, invariant checks
+and checkpointing — none of which sit on the device critical path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextsim_tpu.config import Config
+from nextsim_tpu.core import constants as phys
+from nextsim_tpu.core.state import Diag, State
+from nextsim_tpu.forcing.providers import make_provider
+from nextsim_tpu.grid.grid import Grid
+from nextsim_tpu.model import checks, init_state, params
+from nextsim_tpu.ops import momentum
+from nextsim_tpu.utils import dates
+from nextsim_tpu.utils.logging import get_logger
+from nextsim_tpu.utils.timer import Timer
+
+
+class Simulator:
+    def __init__(self, cfg: Config, grid: Optional[Grid] = None, mesh=None):
+        self.cfg = cfg
+        self.log = get_logger(cfg["debugging.log-level"], cfg["debugging.log-all"])
+        self.timer = Timer()
+        self.grid = grid if grid is not None else Grid.from_config(cfg)
+
+        dtype_name = cfg["tpu.dtype"]
+        self.dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float64": jnp.float64}[dtype_name]
+
+        # --- time bookkeeping (host) -------------------------------------
+        self.dt = float(cfg["simul.timestep"])  # seconds
+        time_init_str = cfg["simul.time_init"]
+        self.time_init = (
+            dates.string_to_datenum(time_init_str) if time_init_str else 0.0
+        )
+        self.duration_days = cfg["simul.duration"]
+        self.maxiteration = cfg["debugging.maxiteration"]
+        self.pcpt = 0  # step counter (reference pcpt)
+
+        # --- parameters ---------------------------------------------------
+        self.dyn = params.dyn_params(cfg, self.grid.dx)
+        self.c_fix, self.c_alea = params.cohesion_params(cfg, self.grid.dx)
+        self.use_young = cfg["thermo.newice_type"] == 4
+        self.use_thermo = cfg["thermo.use_thermo_forcing"]
+        self.thermo_type = cfg["setup.thermo-type"]
+        self.check_fast = cfg["debugging.check_fields_fast"]
+
+        # --- static grid arrays on device ---------------------------------
+        node_lat, _ = self.grid.node_latlon()
+        self.grid_arrays: Dict[str, jnp.ndarray] = {
+            "mask": jnp.asarray(self.grid.mask, self.dtype),
+            "open_mask": jnp.asarray(self.grid.open_mask, self.dtype),
+            "node_mask": jnp.asarray(self.grid.node_mask, self.dtype),
+            "node_dirichlet": jnp.asarray(self.grid.node_dirichlet, self.dtype),
+            "node_lat": jnp.asarray(node_lat, self.dtype),
+            "delta_x": self.grid.dx,
+        }
+
+        # --- state + forcing ----------------------------------------------
+        self.state = init_state.init_state(cfg, self.grid, dtype=self.dtype)
+        self.forcing_provider = make_provider(cfg, self.grid, self.dtype)
+
+        # sharding (multi-chip): annotate the state with a 2-D mesh layout
+        self.device_mesh = mesh
+        if mesh is not None:
+            from nextsim_tpu.parallel.sharding import shard_state_and_grid
+
+            self.state, self.grid_arrays = shard_state_and_grid(
+                self.state, self.grid_arrays, mesh
+            )
+
+        self._step_fn = self._build_step_fn()
+
+    # ------------------------------------------------------------------
+    def _build_step_fn(self) -> Callable:
+        cfg = self.cfg
+        dyn = self.dyn
+        dt = self.dt
+        grid_arrays = dict(self.grid_arrays)
+        c_fix, c_alea = self.c_fix, self.c_alea
+        use_thermo = self.use_thermo
+        dynamics_type = dyn.dynamics_type
+
+        def step_fn(state: State, forcing) -> State:
+            # cohesion field for this step (reference: calcCohesion,
+            # fe.cpp:3909-3914)
+            ga = dict(grid_arrays)
+            ga["cohesion"] = c_fix + c_alea * state.random_number
+
+            diag = {}
+
+            # ---- thermodynamics (reference: fe.cpp:8140 → thermo()) -----
+            if use_thermo:
+                from nextsim_tpu.ops import thermo as thermo_ops
+
+                state, tdiag = thermo_ops.thermo_step(state, forcing, ga, dt, cfg_params=self._thermo_params)
+                diag.update(tdiag)
+
+            # ---- dynamics (reference: fe.cpp:8197-8221) ------------------
+            if dynamics_type in ("bbm", "evp", "mevp"):
+                state, mdiag = momentum.explicit_solve(state, forcing, ga, dt, dyn)
+                diag.update(mdiag)
+            elif dynamics_type == "free_drift":
+                state = momentum.free_drift(state, forcing, ga, dt, dyn)
+            elif dynamics_type == "no_motion":
+                pass
+
+            # ---- transport + ridging (Eulerian replacement of the
+            # Lagrangian mesh-motion + update(), reference fe.cpp:8221,3919)
+            if dynamics_type != "no_motion":
+                from nextsim_tpu.ops import transport
+
+                state, vdiag = transport.transport_and_ridge(
+                    state, ga, dt, self._transport_params
+                )
+                diag.update(vdiag)
+
+            viol = checks.violations(state, use_young_ice=dyn.use_young_ice)
+            return state, diag, viol
+
+        return jax.jit(step_fn, donate_argnums=(0,) if cfg["tpu.donate_state"] else ())
+
+    # lazily-built parameter bundles for thermo/transport (set in phase 3/4)
+    @functools.cached_property
+    def _thermo_params(self):
+        from nextsim_tpu.model.params_thermo import thermo_params
+
+        return thermo_params(self.cfg)
+
+    @functools.cached_property
+    def _transport_params(self):
+        from nextsim_tpu.ops.transport import TransportParams
+
+        return TransportParams.from_config(self.cfg)
+
+    # ------------------------------------------------------------------
+    @property
+    def current_time(self) -> float:
+        """Model time in days since 1900-01-01 (reference M_current_time)."""
+        return self.time_init + self.pcpt * self.dt * dates.DAYS_IN_SEC
+
+    def step(self) -> None:
+        self.timer.tick("step")
+        self.timer.tick("forcing")
+        forcing = self.forcing_provider(self.current_time + self.dt * dates.DAYS_IN_SEC, self.time_init)
+        self.timer.tock("forcing")
+
+        self.timer.tick("device_step")
+        self.state, self.diag, viol = self._step_fn(self.state, forcing)
+        self.timer.tock("device_step")
+
+        self.pcpt += 1
+
+        if self.check_fast:
+            self.timer.tick("checks")
+            flags = np.asarray(viol)
+            if flags.any():
+                msgs = checks.describe(flags, self.dyn.use_young_ice)
+                self._crash_dump(msgs)
+            self.timer.tock("checks")
+        self.timer.tock("step")
+
+    def _crash_dump(self, msgs: List[str]) -> None:
+        """Export a crash snapshot then raise (reference: fe.cpp:14647-14654)."""
+        try:
+            from nextsim_tpu.output.exporter import export_snapshot
+
+            export_snapshot(self, name="crash")
+        except Exception as e:  # noqa: BLE001 - best-effort crash dump
+            self.log.error(f"crash export failed: {e}")
+        stats = checks.field_stats(self.state)
+        raise RuntimeError("; ".join(msgs) + f"; field stats: {stats}")
+
+    def run(self, callbacks: Optional[List[Callable]] = None) -> State:
+        """Main loop (reference: FiniteElement::run, fe.cpp:8450-8509)."""
+        n_steps = int(self.duration_days * phys.days_in_sec / self.dt)
+        if self.maxiteration > 0:
+            n_steps = min(n_steps, self.maxiteration)
+        self.log.info(f"run: {n_steps} steps of {self.dt}s")
+        ptime = max(1, n_steps * self.cfg["debugging.ptime_percent"] // 100)
+        for i in range(n_steps):
+            self.step()
+            if callbacks:
+                for cb in callbacks:
+                    cb(self)
+            if (i + 1) % ptime == 0:
+                self.log.info(
+                    f"---------------------- TIME STEP {self.pcpt} : "
+                    f"{dates.datenum_to_string(self.current_time)} "
+                    f"({100*(i+1)//n_steps}%)"
+                )
+        jax.block_until_ready(self.state)
+        return self.state

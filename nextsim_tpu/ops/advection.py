@@ -1,0 +1,132 @@
+"""Flux-form tracer advection on the B-grid.
+
+This operator replaces the reference's Lagrangian transport: there, tracers
+ride the moving mesh (M_UM += dt*M_VT, reference: finiteelement.cpp:
+10539-10573) and are conservatively remapped onto a fresh mesh at regrid
+(ConservativeRemappingMeshToMesh, reference: fe.cpp:3108 +
+contrib/bamg/src/ConservativeRemapping.cpp). Here the grid is fixed and the
+same physics — area change under divergence, conservative tracer transport —
+is done by a monotone second-order (van-Leer-limited MUSCL) dimensionally
+split finite-volume scheme, cheap enough to run every step.
+
+Two forms:
+
+* ``advect_conservative``: for area densities (conc, ice volume, ...);
+  exactly conservative over ocean cells (up to boundary fluxes, which vanish
+  on closed coasts because coast-node velocities are Dirichlet-zero).
+* ``advect_intensive``: first-order upwind advective form for intensive
+  tracers (damage, temperatures, SST/SSS) — the Eulerian counterpart of
+  "tracer rides the element".
+
+Face velocities are the mean of the two face nodes; on coastlines both face
+nodes are Dirichlet so the normal flux is identically zero.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def face_velocities(u_node, v_node) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(u_face (ny, nx+1), v_face (ny+1, nx)) normal velocities."""
+    u_face = 0.5 * (u_node[:-1, :] + u_node[1:, :])
+    v_face = 0.5 * (v_node[:, :-1] + v_node[:, 1:])
+    return u_face, v_face
+
+
+def _vanleer_slope(qm, qc, qp):
+    """van Leer harmonic slope limiter (per cell)."""
+    dm = qc - qm
+    dp = qp - qc
+    prod = dm * dp
+    denom = dm + dp
+    return jnp.where(prod > 0.0, 2.0 * prod / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom), 0.0)
+
+
+def _flux_x(q, u_face, dtdx, second_order: bool):
+    """Upwind/MUSCL fluxes through x-faces; q (ny,nx) -> flux (ny, nx+1),
+    flux = u * q_face * dt/dx (dimensionless transported amount)."""
+    qp = jnp.pad(q, ((0, 0), (1, 1)))  # ghost cells (land; q=0 there is fine
+    # because coast faces have u=0)
+    qW = qp[:, :-1]  # cell left of face
+    qE = qp[:, 1:]  # cell right of face
+    if second_order:
+        qpp = jnp.pad(q, ((0, 0), (2, 2)))
+        slope = _vanleer_slope(qpp[:, :-2], qpp[:, 1:-1], qpp[:, 2:])  # (ny, nx+2)
+        sW = slope[:, :-1]
+        sE = slope[:, 1:]
+        c = u_face * dtdx
+        q_face = jnp.where(
+            u_face >= 0.0,
+            qW + 0.5 * (1.0 - c) * sW,
+            qE - 0.5 * (1.0 + c) * sE,
+        )
+    else:
+        q_face = jnp.where(u_face >= 0.0, qW, qE)
+    return u_face * q_face * dtdx
+
+
+def _flux_y(q, v_face, dtdx, second_order: bool):
+    qp = jnp.pad(q, ((1, 1), (0, 0)))
+    qS = qp[:-1, :]
+    qN = qp[1:, :]
+    if second_order:
+        qpp = jnp.pad(q, ((2, 2), (0, 0)))
+        slope = _vanleer_slope(qpp[:-2, :], qpp[1:-1, :], qpp[2:, :])
+        sS = slope[:-1, :]
+        sN = slope[1:, :]
+        c = v_face * dtdx
+        q_face = jnp.where(
+            v_face >= 0.0,
+            qS + 0.5 * (1.0 - c) * sS,
+            qN - 0.5 * (1.0 + c) * sN,
+        )
+    else:
+        q_face = jnp.where(v_face >= 0.0, qS, qN)
+    return v_face * q_face * dtdx
+
+
+def advect_conservative(
+    q, u_face, v_face, dt: float, dx: float, mask, second_order: bool = True
+):
+    """One dimensionally-split conservative transport step of density q.
+
+    Strang-lite splitting (x then y; the splitting order bias is negligible at
+    the CFL~0.1 these runs use). Land cells (mask=0) neither give nor
+    receive: coast-face velocities are zero by construction.
+    """
+    dtdx = dt / dx
+    fx = _flux_x(q, u_face, dtdx, second_order)
+    q = q - (fx[:, 1:] - fx[:, :-1])
+    fy = _flux_y(q, v_face, dtdx, second_order)
+    q = q - (fy[1:, :] - fy[:-1, :])
+    return q * mask
+
+
+def advect_intensive(q, u_face, v_face, dt: float, dx: float, mask, second_order: bool = False):
+    """Advective-form upwind update: dq/dt + u.grad(q) = 0 (monotone)."""
+    dtdx = dt / dx
+    qp = jnp.pad(q, 1, mode="edge")
+    # face-upwind differences; u_face (ny, nx+1)
+    uW = u_face[:, :-1]
+    uE = u_face[:, 1:]
+    vS = v_face[:-1, :]
+    vN = v_face[1:, :]
+    dW = qp[1:-1, 1:-1] - qp[1:-1, :-2]
+    dE = qp[1:-1, 2:] - qp[1:-1, 1:-1]
+    dS = qp[1:-1, 1:-1] - qp[:-2, 1:-1]
+    dN = qp[2:, 1:-1] - qp[1:-1, 1:-1]
+    adv = (
+        jnp.maximum(uW, 0.0) * dW
+        + jnp.minimum(uE, 0.0) * dE
+        + jnp.maximum(vS, 0.0) * dS
+        + jnp.minimum(vN, 0.0) * dN
+    )
+    return (q - dtdx * adv) * mask
+
+
+def divergence(u_face, v_face, dx: float):
+    """Cell-centered velocity divergence [1/s]."""
+    return (u_face[:, 1:] - u_face[:, :-1] + v_face[1:, :] - v_face[:-1, :]) / dx

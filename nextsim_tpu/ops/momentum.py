@@ -1,0 +1,353 @@
+"""Explicit momentum solver.
+
+The TPU-native equivalent of FiniteElement::explicitSolve (reference:
+model/finiteelement.cpp:10182-10643): per model step, precompute element/node
+coefficients, then run `dynamics.substeps` explicit sub-iterations of
+
+  rheology stress update -> stress-divergence RHS -> pointwise 2x2
+  implicit-in-drag node solve (Hunke & Dukowicz decoupling)
+
+followed by the 50-sweep open-water velocity smoother and the ice-ocean drag
+diagnostic. The whole loop is a `lax.fori_loop` over fused VPU stencils; on a
+sharded grid GSPMD inserts the halo exchanges that replace the reference's
+per-substep MPI updateGhosts (fe.cpp:10534).
+
+Free drift (reference: updateFreeDriftVelocity, fe.cpp:10140-10176) and
+no-motion are the cheap alternative paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nextsim_tpu.core import constants as phys
+from nextsim_tpu.ops import rheology, stencil
+from nextsim_tpu.ops.rheology import BBMParams, EVPParams
+
+
+@dataclasses.dataclass(frozen=True)
+class DynParams:
+    """Static dynamics parameters (from config; reference: initOptAndParam)."""
+
+    dynamics_type: str = "bbm"  # bbm | evp | mevp | free_drift | no_motion
+    substeps: int = 120  # dynamics.substeps
+    min_h: float = 0.05  # dynamics.min_h -> min slab mass = rhoi*min_h
+    quad_drag_coef_water: float = 0.0055
+    lin_drag_coef_water: float = 0.0
+    quad_drag_coef_air: float = 0.0020
+    lin_drag_coef_air: float = 0.0
+    ocean_turning_angle_deg: float = 25.0  # 0 when coupled (fe.cpp:1173)
+    use_coriolis: bool = True
+    basal_stress: str = "lemieux"  # none | lemieux
+    k1: float = 10.0  # dynamics.Lemieux_basal_k1
+    k2: float = 15.0
+    Cb: float = 20.0
+    u0: float = 5e-5
+    mevp_alpha: float = 500.0
+    mevp_beta: float = 500.0
+    nit_ow: int = 50  # numerics.nit_ow open-water smoother sweeps
+    use_young_ice: bool = True  # thermo.newice_type == 4
+    bbm: BBMParams = BBMParams()
+    evp: EVPParams = EVPParams()
+
+
+def slab_mass(state, p: DynParams):
+    """Element slab mass per unit ice-covered area (reference:
+    fe.cpp:10253-10269 — Connolley et al. 2004 slab mass)."""
+    total_conc = state.conc
+    total_thick = state.thick
+    total_snow = state.snow_thick
+    if p.use_young_ice:
+        total_conc = total_conc + state.conc_young
+        total_thick = total_thick + state.h_young
+        total_snow = total_snow + state.hs_young
+    mass = (phys.rhoi * total_thick + phys.rhos * total_snow) / jnp.maximum(
+        total_conc, 1e-30
+    )
+    return jnp.where(total_conc > 0.0, mass, 0.0)
+
+
+def _basal_cbu(state, forcing, ssh_cell, p: DynParams):
+    """Element grounding coefficient C_bu (Lemieux et al. 2015 eq. 24
+    numerator; reference: fe.cpp:10278-10311)."""
+    if p.basal_stress == "none":
+        return jnp.zeros_like(state.conc)
+    max_keel_depth = 28.0
+    min_water_depth = 2.0
+    depth_eff = jnp.maximum(
+        0.0, ssh_cell + jnp.maximum(min_water_depth, forcing.depth)
+    )
+    mean_keel_depth = jnp.minimum(p.k1 * state.thick, state.conc * max_keel_depth)
+    critical_h = state.conc * depth_eff / p.k1
+    critical_h_mod = mean_keel_depth / p.k1
+    return (
+        p.k2
+        * jnp.maximum(0.0, critical_h_mod - critical_h)
+        * jnp.exp(-p.Cb * (1.0 - state.conc))
+    )
+
+
+def explicit_solve(
+    state,
+    forcing,
+    grid_arrays,
+    dt: float,
+    p: DynParams,
+):
+    """One full dynamics step. Returns (state', diag_dict).
+
+    ``grid_arrays`` is a dict of static per-grid device arrays:
+      mask (cell), node_mask, node_dirichlet, node_lat, delta_x (scalar [m]),
+      cell_area (scalar [m^2]).
+    """
+    mask = grid_arrays["mask"]
+    node_mask = grid_arrays["node_mask"]
+    node_dirichlet = grid_arrays["node_dirichlet"]
+    node_lat = grid_arrays["node_lat"]
+    dx = grid_arrays["delta_x"]
+    area = dx * dx
+
+    steps = p.substeps
+    dte = dt / steps
+    cos_ota = math.cos(math.radians(p.ocean_turning_angle_deg))
+    sin_ota = math.sin(math.radians(p.ocean_turning_angle_deg))
+    min_m = phys.rhoi * p.min_h
+
+    # =====================================================================
+    # Element prep (reference: fe.cpp:10235-10341)
+    # =====================================================================
+    element_mass = slab_mass(state, p) * mask
+    ssh_cell = stencil.cell_mean_of_nodes(forcing.ssh)
+    element_cbu = _basal_cbu(state, forcing, ssh_cell, p) * mask
+
+    # =====================================================================
+    # Node prep (reference: fe.cpp:10344-10416)
+    # =====================================================================
+    # lumped mass & nodal mean mass: area-weighted over adjacent ocean cells
+    area_sum = stencil.cells_to_node_sum(mask) * area  # sum A_c
+    node_mass = stencil.cells_to_node_sum(element_mass * area) / jnp.maximum(
+        area_sum, 1e-30
+    )
+    # reciprocal lumped mass matrix: quads lump A/4 per corner
+    # (reference triangles lump A/3, fe.cpp:10406-10408)
+    rlmass = 4.0 / jnp.maximum(area_sum, 1e-30)
+
+    c_bu = stencil.node_max_of_cells(element_cbu)
+
+    # gradient of m*g*SSH (reference: fe.cpp:10323-10341), coef = m*g*A/4
+    g4 = element_mass * area * (phys.gravity / 4.0)
+    grad_ssh_u, grad_ssh_v = stencil.node_grad_scalar(g4, forcing.ssh, dx)
+
+    # Coriolis parameter at nodes (reference: fe.cpp:10397)
+    if p.use_coriolis:
+        fcor = 2.0 * phys.omega * jnp.sin(jnp.deg2rad(node_lat))
+    else:
+        fcor = jnp.zeros_like(node_lat)
+
+    # atmospheric drag: area-weighted cell drag -> node, x rhoa|wind|
+    # (reference: fe.cpp:10373-10394)
+    if p.use_young_ice:
+        tot_c = state.conc + state.conc_young
+        dragp = jnp.where(
+            tot_c > 0.0,
+            (state.drag_ui * state.conc + state.drag_ui_young * state.conc_young)
+            / jnp.maximum(tot_c, 1e-30),
+            state.drag_ui,
+        )
+    else:
+        dragp = state.drag_ui
+    drag_node = stencil.node_mean_of_cells(dragp, mask)
+    wspd_node = jnp.hypot(forcing.wind_u, forcing.wind_v)
+    drag_node = drag_node * phys.rhoa * wspd_node
+    tau_ax = drag_node * forcing.wind_u
+    tau_ay = drag_node * forcing.wind_v
+
+    # wave stress (coupled; zeros otherwise)
+    if forcing.tau_wi_u is not None:
+        tau_ax = tau_ax + forcing.tau_wi_u
+        tau_ay = tau_ay + forcing.tau_wi_v
+
+    # zero velocity on ice-free nodes before sub-stepping (fe.cpp:10367-10371)
+    has_mass = node_mass > 0.0
+    vt_u = jnp.where(has_mass, state.vt_u, 0.0) * node_mask
+    vt_v = jnp.where(has_mass, state.vt_v, 0.0) * node_mask
+    vtm_u, vtm_v = vt_u, vt_v  # VTM copy (fe.cpp:10410-10411)
+
+    # solve-mask: not dirichlet, has ice mass (fe.cpp:10475-10478)
+    solve = (node_dirichlet < 0.5) & has_mass & (node_mask > 0.5)
+    hemisphere = jnp.where(node_lat >= 0.0, 1.0, -1.0)
+    sin_ota_signed = sin_ota * hemisphere
+
+    dyn_type = p.dynamics_type
+
+    def substep(s, carry):
+        vt_u, vt_v, ut_u, ut_v, sigma, damage = carry
+
+        # ---- rheology (reference: fe.cpp:10426-10441) --------------------
+        eps11, eps22, eps12 = stencil.strain_rates(vt_u, vt_v, dx)
+        if dyn_type == "bbm":
+            sigma, damage = rheology.bbm_update(
+                sigma, damage, state.conc, state.thick,
+                grid_arrays["cohesion"], state.time_relaxation_damage,
+                eps11, eps22, eps12, dx, dte, p.bbm,
+            )
+        elif dyn_type == "evp":
+            sigma = rheology.evp_update(
+                sigma, state.conc, state.thick, eps11, eps22, eps12, dte, dt, p.evp
+            )
+        elif dyn_type == "mevp":
+            sigma = rheology.mevp_update(
+                sigma, state.conc, state.thick, eps11, eps22, eps12, p.mevp_alpha, p.evp
+            )
+        else:
+            raise ValueError(dyn_type)
+
+        # ---- gradient terms (reference: fe.cpp:10444-10468) --------------
+        volume = state.thick * area * mask
+        gsu, gsv = stencil.stress_divergence(sigma[0], sigma[1], sigma[2], volume, dx)
+        grad_u = grad_ssh_u + gsu
+        grad_v = grad_ssh_v + gsv
+
+        # ---- node solve (reference: fe.cpp:10472-10529) ------------------
+        if dyn_type == "mevp":
+            b_mevp = p.mevp_beta + 1.0
+            delu = (vtm_u - vt_u) / b_mevp
+            delv = (vtm_v - vt_v) / b_mevp
+            dtep = dte / b_mevp
+        else:
+            delu = 0.0
+            delv = 0.0
+            dtep = dte
+
+        dte_over_mass = dtep / jnp.maximum(min_m, node_mass)
+        uice, vice = vt_u, vt_v
+
+        c_prime = (
+            phys.rhow
+            * p.quad_drag_coef_water
+            * jnp.hypot(forcing.ocean_u - uice, forcing.ocean_v - vice)
+        )
+        tau_b = c_bu / (jnp.hypot(uice, vice) + p.u0)
+        alpha = 1.0 + dte_over_mass * (c_prime * cos_ota + tau_b)
+        beta = dtep * fcor + dte_over_mass * c_prime * sin_ota_signed
+        rdenom = 1.0 / (alpha * alpha + beta * beta)
+
+        tau_x = tau_ax + c_prime * (
+            forcing.ocean_u * cos_ota - forcing.ocean_v * sin_ota_signed
+        )
+        tau_y = tau_ay + c_prime * (
+            forcing.ocean_v * cos_ota + forcing.ocean_u * sin_ota_signed
+        )
+
+        grad_x = grad_u * rlmass
+        grad_y = grad_v * rlmass
+
+        new_u = (
+            alpha * uice
+            + beta * vice
+            + dte_over_mass * (alpha * (grad_x + tau_x) + beta * (grad_y + tau_y))
+            + alpha * delu
+            + beta * delv
+        ) * rdenom
+        new_v = (
+            alpha * vice
+            - beta * uice
+            + dte_over_mass * (alpha * (grad_y + tau_y) - beta * (grad_x + tau_x))
+            + alpha * delv
+            - beta * delu
+        ) * rdenom
+
+        vt_u = jnp.where(solve, new_u, vt_u)
+        vt_v = jnp.where(solve, new_v, vt_v)
+
+        # ---- total displacement (reference: fe.cpp:10539-10553) ----------
+        if dyn_type != "mevp":
+            ut_u = ut_u + dte * vt_u
+            ut_v = ut_v + dte * vt_v
+
+        return (vt_u, vt_v, ut_u, ut_v, sigma, damage)
+
+    carry = (vt_u, vt_v, state.ut_u, state.ut_v, state.sigma, state.damage)
+    carry = lax.fori_loop(0, steps, substep, carry)
+    vt_u, vt_v, ut_u, ut_v, sigma, damage = carry
+
+    if dyn_type == "mevp":
+        ut_u = ut_u + dt * vt_u
+        ut_v = ut_v + dt * vt_v
+
+    # =====================================================================
+    # Open-water velocity smoother (reference: fe.cpp:10576-10611)
+    # =====================================================================
+    ow = (node_mask > 0.5) & (node_dirichlet < 0.5) & jnp.logical_not(has_mass)
+
+    def smooth(_, uv):
+        u, v = uv
+        u_bar = stencil.neighbor_mean_nodes(u, node_mask)
+        v_bar = stencil.neighbor_mean_nodes(v, node_mask)
+        return (jnp.where(ow, u_bar, u), jnp.where(ow, v_bar, v))
+
+    vt_u, vt_v = lax.fori_loop(0, p.nit_ow, smooth, (vt_u, vt_v))
+
+    # ice-ocean drag diagnostic from mean speed (reference: fe.cpp:10616-10630)
+    um_u = 0.5 * (vt_u + vtm_u)
+    um_v = 0.5 * (vt_v + vtm_v)
+    c_prime = (
+        phys.rhow
+        * p.quad_drag_coef_water
+        * jnp.hypot(forcing.ocean_u - um_u, forcing.ocean_v - um_v)
+    )
+    tau_wx = c_prime * (um_u - forcing.ocean_u)
+    tau_wy = c_prime * (um_v - forcing.ocean_v)
+
+    # open-water displacement accumulation (reference: fe.cpp:10631-10637)
+    ut_u = jnp.where(ow, ut_u + dt * vt_u, ut_u)
+    ut_v = jnp.where(ow, ut_v + dt * vt_v, ut_v)
+
+    state = state.replace(
+        vt_u=vt_u * node_mask,
+        vt_v=vt_v * node_mask,
+        ut_u=ut_u,
+        ut_v=ut_v,
+        sigma=sigma,
+        damage=damage,
+    )
+    diag = {"tau_ax": tau_ax, "tau_ay": tau_ay, "tau_wx": tau_wx, "tau_wy": tau_wy}
+    return state, diag
+
+
+def free_drift(state, forcing, grid_arrays, dt: float, p: DynParams):
+    """Free-drift velocity (reference: updateFreeDriftVelocity,
+    fe.cpp:10140-10176): pointwise wind/current drag balance."""
+    node_dirichlet = grid_arrays["node_dirichlet"]
+    node_mask = grid_arrays["node_mask"]
+
+    nvo = jnp.maximum(
+        jnp.hypot(state.vt_u - forcing.ocean_u, state.vt_v - forcing.ocean_v), 0.01
+    )
+    coef_voce = (p.lin_drag_coef_water + p.quad_drag_coef_water * nvo) * phys.rhow
+    nva = jnp.maximum(
+        jnp.hypot(state.vt_u - forcing.wind_u, state.vt_v - forcing.wind_v), 0.01
+    )
+    coef_vair = (p.lin_drag_coef_air + p.quad_drag_coef_air * nva) * phys.rhoa
+
+    new_u = (coef_vair * forcing.wind_u + coef_voce * forcing.ocean_u) / (
+        coef_vair + coef_voce
+    )
+    new_v = (coef_vair * forcing.wind_v + coef_voce * forcing.ocean_v) / (
+        coef_vair + coef_voce
+    )
+    upd = (node_dirichlet < 0.5) & (node_mask > 0.5)
+    vt_u = jnp.where(upd, new_u, state.vt_u)
+    vt_v = jnp.where(upd, new_v, state.vt_v)
+    return state.replace(
+        vt_u=vt_u,
+        vt_v=vt_v,
+        ut_u=jnp.where(upd, state.ut_u + dt * vt_u, state.ut_u),
+        ut_v=jnp.where(upd, state.ut_v + dt * vt_v, state.ut_v),
+    )

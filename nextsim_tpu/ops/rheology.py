@@ -1,0 +1,181 @@
+"""Sea-ice rheology: pointwise stress/damage updates.
+
+Three rheologies, exactly mirroring the reference formulas:
+
+* **BBM** (Brittle Bingham-Maxwell, the default) — stress relaxation with
+  damage and plasticity (reference: FiniteElement::updateSigmaDamage,
+  model/finiteelement.cpp:4137-4260; Olason et al. 2024).
+* **EVP / mEVP** — elastic-visco-plastic toward the Hibler ellipse
+  (reference: updateSigmaVP/EVP/MEVP, model/finiteelement.cpp:10649-10726).
+
+All functions are pure elementwise maps over cell arrays — they fuse into the
+surrounding momentum kernel under jit (no cross-cell dependence beyond the
+strain rates computed by the caller).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from nextsim_tpu.core import constants as phys
+
+
+@dataclasses.dataclass(frozen=True)
+class BBMParams:
+    """BBM constants (reference: initOptAndParam, finiteelement.cpp:1047-1491)."""
+
+    young: float = 5.9605e8  # undamaged Young modulus [Pa] (dynamics.young)
+    nu0: float = 1.0 / 3.0  # Poisson ratio (dynamics.nu0)
+    compaction_param: float = -20.0  # ridging exponent C (dynamics.compaction_param)
+    compr_strength: float = 1e10  # scaled by scale_coef at init! [Pa]
+    tan_phi: float = 0.7  # internal friction (dynamics.tan_phi)
+    compression_factor: float = 10e3  # P in Pmax (dynamics.compression_factor)
+    exponent_compression_factor: float = 1.5  # h exponent (dynamics.exponent_compression_factor)
+    undamaged_time_relaxation_sigma: float = 1e7  # lambda0 [s]
+    exponent_relaxation_sigma: float = 5.0  # alpha
+    min_c_rheology: float = 0.1  # concentration floor (hard-coded, fe.cpp:4146)
+
+    @property
+    def dunit(self) -> Tuple[float, ...]:
+        """Plane-stress stiffness entries (reference: initFETensors,
+        finiteelement.cpp:1491-1507): D/(1-nu^2) with rows (xx, yy, xy)."""
+        f = 1.0 / (1.0 - self.nu0**2)
+        return (f, f * self.nu0, f * (1.0 - self.nu0) / 2.0)
+
+
+def bbm_update(
+    sigma,  # (3, ny, nx) sxx, syy, sxy
+    damage,  # (ny, nx)
+    conc,
+    thick,
+    cohesion,  # (ny, nx) C_fix + C_alea*random  [Pa]
+    time_relaxation_damage,  # (ny, nx) healing time [s]
+    eps11,
+    eps22,
+    eps12,
+    delta_x,  # scalar or (ny,nx): local mesh length scale [m]
+    dt: float,
+    p: BBMParams,
+):
+    """One BBM sub-step (reference: updateSigmaDamage, finiteelement.cpp:
+    4137-4260). Returns (sigma, damage)."""
+    sxx, syy, sxy = sigma[0], sigma[1], sigma[2]
+
+    # no-ice cells: sigma=0, damage=0 (fe.cpp:4150-4159)
+    has_ice = conc > p.min_c_rheology
+
+    # --- stress update (fe.cpp:4183-4210) ---------------------------------
+    sigma_n = 0.5 * (sxx + syy)
+    expC = jnp.exp(p.compaction_param * (1.0 - conc))
+    dmg_el = (1.0 - damage) * expC
+    time_viscous = p.undamaged_time_relaxation_sigma * dmg_el ** (
+        p.exponent_relaxation_sigma - 1.0
+    )
+
+    # plastic failure tildeP (fe.cpp:4189-4197)
+    Pmax = thick ** p.exponent_compression_factor * p.compression_factor * expC
+    tildeP = jnp.where(sigma_n < 0.0, jnp.minimum(1.0, -Pmax / jnp.minimum(sigma_n, -1e-30)), 0.0)
+
+    multiplicator = jnp.minimum(
+        1.0 - 1e-12, time_viscous / (time_viscous + dt * (1.0 - tildeP))
+    )
+
+    elasticity = p.young * dmg_el
+    d0, d1, d2 = p.dunit
+    # sigma += dt*E*(Dunit @ eps); Dunit = [[d0,d1,0],[d1,d0,0],[0,0,d2]]
+    sxx = (sxx + dt * elasticity * (d0 * eps11 + d1 * eps22)) * multiplicator
+    syy = (syy + dt * elasticity * (d1 * eps11 + d0 * eps22)) * multiplicator
+    sxy = (sxy + dt * elasticity * (d2 * eps12)) * multiplicator
+
+    # --- damage criterion (fe.cpp:4216-4243) ------------------------------
+    sigma_s = jnp.hypot(0.5 * (sxx - syy), sxy)
+    sigma_n = 0.5 * (sxx + syy)
+
+    # Mohr-Coulomb + compressive failure (Plante & Tremblay form)
+    dcrit = jnp.where(
+        sigma_n < -p.compr_strength,
+        -p.compr_strength / jnp.minimum(sigma_n, -1e-30),
+        cohesion / jnp.maximum(sigma_s + p.tan_phi * sigma_n, 1e-30),
+    )
+
+    failing = (dcrit > 0.0) & (dcrit < 1.0)
+    # characteristic damage time t_d = dx*sqrt(2*(1+nu)*rhoi)/sqrt(E)  (fe.cpp:4230)
+    sqrt_nu_rhoi = math.sqrt(2.0 * (1.0 + p.nu0) * phys.rhoi)
+    rtd = jnp.sqrt(jnp.maximum(elasticity, 0.0)) / (delta_x * sqrt_nu_rhoi)
+    relax = (1.0 - dcrit) * dt * rtd
+    relax = jnp.where(failing, relax, 0.0)
+
+    damage_new = damage + (1.0 - damage) * relax
+    # elastic stress relaxation on failure (fe.cpp:4241-4242)
+    sxx = sxx * (1.0 - relax)
+    syy = syy * (1.0 - relax)
+    sxy = sxy * (1.0 - relax)
+
+    # --- healing (fe.cpp:4254-4257) ---------------------------------------
+    damage_new = jnp.maximum(
+        0.0, damage_new - dt / time_relaxation_damage * expC
+    )
+
+    sxx = jnp.where(has_ice, sxx, 0.0)
+    syy = jnp.where(has_ice, syy, 0.0)
+    sxy = jnp.where(has_ice, sxy, 0.0)
+    damage_new = jnp.where(has_ice, damage_new, 0.0)
+
+    return jnp.stack([sxx, syy, sxy]), damage_new
+
+
+@dataclasses.dataclass(frozen=True)
+class EVPParams:
+    e: float = 2.0  # ellipse ratio (dynamics.evp.e)
+    Pstar: float = 27.5e3  # [Pa] (dynamics.evp.Pstar)
+    C: float = 20.0  # compaction parameter (dynamics.evp.C)
+    delta_min: float = 1e-9  # (dynamics.evp.dmin)
+
+
+def vp_update(
+    sigma, conc, thick, eps11, eps22, eps12, ralpha1: float, ralpha2,
+    p: EVPParams,
+):
+    """Shared (m)EVP stress update (reference: updateSigmaVP,
+    finiteelement.cpp:10649-10699 — 'Sylvain's eqs 43-45')."""
+    sxx, syy, sxy = sigma[0], sigma[1], sigma[2]
+    re2 = 1.0 / (p.e * p.e)
+
+    eps1 = eps11 + eps22
+    eps2 = eps11 - eps22
+    delta = jnp.sqrt(eps1 * eps1 + (eps2 * eps2 + 4.0 * eps12 * eps12) * re2)
+    P = p.Pstar * jnp.exp(-p.C * (1.0 - conc))
+    zeta = P / (delta + p.delta_min)
+
+    sigma1 = sxx + syy
+    sigma2 = sxx - syy
+    sigma1 = sigma1 + ralpha1 * (zeta * (eps1 - delta) - sigma1)
+    sigma2 = sigma2 + ralpha2 * (zeta * eps2 * re2 - sigma2)
+    sxy = sxy + ralpha2 * (zeta * eps12 * re2 - sxy)
+
+    sxx = 0.5 * (sigma1 + sigma2)
+    syy = 0.5 * (sigma1 - sigma2)
+
+    # ice-free elements carry zero stress (fe.cpp:10656-10662)
+    has_ice = thick > 0.0
+    sxx = jnp.where(has_ice, sxx, 0.0)
+    syy = jnp.where(has_ice, syy, 0.0)
+    sxy = jnp.where(has_ice, sxy, 0.0)
+    return jnp.stack([sxx, syy, sxy])
+
+
+def evp_update(sigma, conc, thick, eps11, eps22, eps12, dte: float, dt_step: float, p: EVPParams):
+    """EVP: T = dt/3 damping (reference: updateSigmaEVP, fe.cpp:10704-10715)."""
+    T = dt_step / 3.0
+    ralpha1 = 0.5 * dte / T
+    ralpha2 = 0.5 * dte / T * p.e * p.e
+    return vp_update(sigma, conc, thick, eps11, eps22, eps12, ralpha1, ralpha2, p)
+
+
+def mevp_update(sigma, conc, thick, eps11, eps22, eps12, alpha: float, p: EVPParams):
+    """mEVP: r = 1/alpha (reference: updateSigmaMEVP, fe.cpp:10721-10726)."""
+    return vp_update(sigma, conc, thick, eps11, eps22, eps12, 1.0 / alpha, 1.0 / alpha, p)

@@ -1,0 +1,62 @@
+"""Snapshot exporter.
+
+The reference gathers fields to rank 0 and writes a raw little-endian binary
+`.bin` plus a `.dat` text record file per snapshot (reference:
+core/src/exporter.cpp:30-233; exportResults fe.cpp:14111-14325) named
+``{field,mesh}_%Y%m%dT%H%M%SZ``. Here the canonical snapshot is a compressed
+``.npz`` of the state pytree plus a JSON manifest; a reference-format
+binary writer (same .bin/.dat layout) is provided for cross-validation
+tooling (see nextsim_tpu/output/ref_binary.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from nextsim_tpu.core.variables import SPECS
+from nextsim_tpu.utils import dates
+
+
+def state_to_arrays(state) -> dict:
+    out = {}
+    import dataclasses
+
+    for f in dataclasses.fields(state):
+        out[f.name] = np.asarray(getattr(state, f.name))
+    return out
+
+
+def export_snapshot(sim, name: Optional[str] = None) -> str:
+    """Write one snapshot; returns the path."""
+    cfg = sim.cfg
+    path = cfg["output.exporter_path"]
+    os.makedirs(path, exist_ok=True)
+    if name is None:
+        if cfg["output.datetime_in_filename"]:
+            name = dates.datenum_to_string(sim.current_time)
+        else:
+            name = str(sim.pcpt)
+    arrays = state_to_arrays(sim.state)
+    fname = os.path.join(path, f"field_{name}.npz")
+    np.savez_compressed(fname, **arrays)
+    manifest = {
+        "time": sim.current_time,
+        "datetime": dates.datenum_to_string(sim.current_time, "%Y-%m-%dT%H:%M:%SZ"),
+        "pcpt": sim.pcpt,
+        "grid": {
+            "nx": sim.grid.nx,
+            "ny": sim.grid.ny,
+            "dx": sim.grid.dx,
+            "x0": sim.grid.x0,
+            "y0": sim.grid.y0,
+        },
+        "fields": {k: list(v.shape) for k, v in arrays.items()},
+        "export_names": {k: SPECS[k].export_name for k in arrays if k in SPECS},
+    }
+    with open(os.path.join(path, f"field_{name}.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return fname
