@@ -96,7 +96,7 @@ class Simulator:
         use_thermo = self.use_thermo
         dynamics_type = dyn.dynamics_type
 
-        def step_fn(state: State, forcing) -> State:
+        def step_fn(state: State, forcing, tinfo) -> State:
             # cohesion field for this step (reference: calcCohesion,
             # fe.cpp:3909-3914)
             ga = dict(grid_arrays)
@@ -108,7 +108,10 @@ class Simulator:
             if use_thermo:
                 from nextsim_tpu.ops import thermo as thermo_ops
 
-                state, tdiag = thermo_ops.thermo_step(state, forcing, ga, dt, cfg_params=self._thermo_params)
+                state, tdiag = thermo_ops.thermo_step(
+                    state, forcing, ga, dt, cfg_params=self._thermo_params,
+                    tinfo=tinfo,
+                )
                 diag.update(tdiag)
 
             # ---- dynamics (reference: fe.cpp:8197-8221) ------------------
@@ -133,6 +136,7 @@ class Simulator:
             viol = checks.violations(state, use_young_ice=dyn.use_young_ice)
             return state, diag, viol
 
+        self.raw_step_fn = step_fn
         return jax.jit(step_fn, donate_argnums=(0,) if cfg["tpu.donate_state"] else ())
 
     # lazily-built parameter bundles for thermo/transport (set in phase 3/4)
@@ -154,14 +158,35 @@ class Simulator:
         """Model time in days since 1900-01-01 (reference M_current_time)."""
         return self.time_init + self.pcpt * self.dt * dates.DAYS_IN_SEC
 
+    def time_info(self):
+        """Per-step scalar time flags for the thermo tracers (reference:
+        fe.cpp:5655-5660 step_in_day; 5999, 6061, 6050 date checks)."""
+        import jax.numpy as jnp
+
+        t = self.current_time
+        num_steps_in_day = max(1, round(phys.days_in_sec / self.dt))
+        step_in_day = 1 + round(num_steps_in_day * (t % 1.0))
+        md = dates.datenum_to_string(t, "%m%d")
+        midnight = abs(t % 1.0) < 1e-9
+        reset_md = self.cfg["age.reset_date"]
+        mk = lambda b: jnp.asarray(1.0 if b else 0.0, self.dtype)
+        return {
+            "is_day_start": mk(step_in_day == 1),
+            "is_day_end": mk(step_in_day == num_steps_in_day),
+            "is_0915": mk(md == "0915" and midnight),
+            "is_0801": mk(md == "0801" and midnight),
+            "is_myi_reset_date": mk(md == reset_md and midnight),
+        }
+
     def step(self) -> None:
         self.timer.tick("step")
         self.timer.tick("forcing")
         forcing = self.forcing_provider(self.current_time + self.dt * dates.DAYS_IN_SEC, self.time_init)
+        tinfo = self.time_info()
         self.timer.tock("forcing")
 
         self.timer.tick("device_step")
-        self.state, self.diag, viol = self._step_fn(self.state, forcing)
+        self.state, self.diag, viol = self._step_fn(self.state, forcing, tinfo)
         self.timer.tock("device_step")
 
         self.pcpt += 1

@@ -1,0 +1,87 @@
+"""Advection operator tests: conservation, monotonicity, translation accuracy."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nextsim_tpu.ops import advection
+
+
+def uniform_face_velocity(ny, nx, u=0.5, v=0.0):
+    return jnp.full((ny, nx + 1), u), jnp.full((ny + 1, nx), v)
+
+
+def test_conservation_closed_domain():
+    rng = np.random.default_rng(3)
+    ny = nx = 32
+    q = jnp.asarray(rng.uniform(0, 1, (ny, nx)).astype(np.float32))
+    mask = np.ones((ny, nx), np.float32)
+    mask[0] = mask[-1] = 0
+    mask[:, 0] = mask[:, -1] = 0
+    q = q * mask
+    # arbitrary divergent velocity field, zero on the boundary faces
+    u_face = rng.normal(0, 0.3, (ny, nx + 1)).astype(np.float32)
+    v_face = rng.normal(0, 0.3, (ny + 1, nx)).astype(np.float32)
+    u_face[:, :2] = u_face[:, -2:] = 0
+    v_face[:2, :] = v_face[-2:, :] = 0
+    # also zero normal flux on coast faces (cells next to land ring)
+    total0 = float(q.sum())
+    out = advection.advect_conservative(
+        q, jnp.asarray(u_face), jnp.asarray(v_face), 600.0, 1e4, jnp.asarray(mask)
+    )
+    total1 = float(out.sum())
+    assert abs(total1 - total0) / total0 < 1e-5
+
+
+def test_monotone_no_new_extrema_uniform_flow():
+    ny = nx = 40
+    x = np.arange(nx)
+    q0 = np.exp(-((x - 12.0) ** 2) / 18.0)
+    q = jnp.asarray(np.broadcast_to(q0, (ny, nx)).astype(np.float32))
+    u_face, v_face = uniform_face_velocity(ny, nx, u=0.5)
+    mask = jnp.ones((ny, nx))
+    out = q
+    for _ in range(20):
+        out = advection.advect_conservative(out, u_face, v_face, 2000.0, 1e4, mask)
+    o = np.asarray(out)
+    assert o.min() >= -1e-6
+    assert o.max() <= float(q.max()) + 1e-5
+
+
+def test_translation_second_order_beats_first_order():
+    ny, nx = 8, 200
+    dx = 1e4
+    dt = 2000.0
+    u = 0.5  # CFL = 0.1
+    x = np.arange(nx, dtype=np.float64)
+    q0 = np.exp(-((x - 40.0) ** 2) / 50.0)
+    steps = 400  # travels 400*0.1 = 40 cells
+    exact = np.exp(-((x - 80.0) ** 2) / 50.0)
+    q_init = jnp.asarray(np.broadcast_to(q0, (ny, nx)).astype(np.float32))
+    u_face, v_face = uniform_face_velocity(ny, nx, u=u)
+    mask = jnp.ones((ny, nx))
+
+    errs = {}
+    for so in (False, True):
+        out = q_init
+        for _ in range(steps):
+            out = advection.advect_conservative(out, u_face, v_face, dt, dx, mask, second_order=so)
+        errs[so] = np.abs(np.asarray(out)[4] - exact).max()
+    assert errs[True] < 0.5 * errs[False]
+    assert errs[True] < 0.08  # second order keeps the peak reasonably sharp
+
+
+def test_intensive_uniform_field_unchanged():
+    ny = nx = 16
+    q = jnp.full((ny, nx), 3.5)
+    rng = np.random.default_rng(5)
+    u_face = jnp.asarray(rng.normal(0, 0.4, (ny, nx + 1)).astype(np.float32))
+    v_face = jnp.asarray(rng.normal(0, 0.4, (ny + 1, nx)).astype(np.float32))
+    out = advection.advect_intensive(q, u_face, v_face, 600.0, 1e4, jnp.ones((ny, nx)))
+    # advective form: uniform intensive field is invariant even in divergent flow
+    np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-6)
+
+
+def test_divergence_of_uniform_flow_zero():
+    u_face, v_face = uniform_face_velocity(10, 12, u=0.7, v=-0.3)
+    div = advection.divergence(u_face, v_face, 1e4)
+    np.testing.assert_allclose(np.asarray(div), 0.0, atol=1e-12)

@@ -1,0 +1,95 @@
+"""End-to-end Simulator tests on the toy-config regime (reference:
+config-files/nextsim.toy.cfg — BBM, constant 20 m/s wind, closed square,
+thermo off)."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from nextsim_tpu.config import Config
+from nextsim_tpu.model.simulator import Simulator
+
+REF_TOY = pathlib.Path("/root/reference/config-files/nextsim.toy.cfg")
+
+
+def toy_config(**overrides):
+    base = {
+        "grid.nx": 64,
+        "grid.ny": 64,
+        "grid.resolution": 10e3,
+        "simul.timestep": 300,
+        "simul.duration": 1.0,
+        "simul.time_init": "2015-10-16 00:00:00",
+        "thermo.use_thermo_forcing": False,
+        "dynamics.use_coriolis": False,
+        "dynamics.alea_factor": 0.33,
+        "dynamics.C_lab": 1.5e6,
+        "setup.ice-type": "constant_partial",
+        "setup.ocean-type": "constant",
+        "setup.atmosphere-type": "constant",
+        "setup.bathymetry-type": "constant",
+        "ideal_simul.constant_wind_u": 20.0,
+        "ideal_simul.constant_wind_v": 0.0,
+        "ideal_simul.init_thickness": 1.0,
+        "ideal_simul.init_concentration": 1.0,
+    }
+    base.update(overrides)
+    return Config(overrides=base)
+
+
+def test_simulator_init_toy():
+    sim = Simulator(toy_config())
+    s = sim.state
+    conc = np.asarray(s.conc)
+    mask = sim.grid.mask
+    # constant_partial: no ice on the left 30%
+    assert conc[:, 5].sum() == 0.0
+    assert (conc[:, -5] * mask[:, -5]).max() == 1.0
+    assert float(np.asarray(s.sst).max()) == pytest.approx(1.0)
+
+
+def test_simulator_steps_toy():
+    sim = Simulator(toy_config())
+    for _ in range(10):
+        sim.step()
+    s = sim.state
+    u = np.asarray(s.vt_u)
+    assert np.isfinite(u).all()
+    assert np.hypot(u, np.asarray(s.vt_v)).max() < 1.0
+    # spinup ramps wind from 0; after 10x300s of a 1-day spinup wind is weak
+    # but the ice-free left part lets ice drift: some motion expected
+    assert np.abs(u).max() > 0.0
+    # total ice volume is conserved by transport+ridging (closed domain,
+    # no thermo): compare with the initial volume
+    sim2 = Simulator(toy_config())
+    v0 = float(np.asarray(sim2.state.thick).sum())
+    v1 = float(np.asarray(s.thick).sum())
+    assert abs(v1 - v0) / v0 < 1e-3
+
+
+def test_simulator_mass_conservation_long():
+    cfg = toy_config(**{"simul.spinup_duration": 0.0})
+    sim = Simulator(cfg)
+    v0 = float(np.asarray(sim.state.thick).sum())
+    sn0 = float(np.asarray(sim.state.snow_thick).sum())
+    for _ in range(30):
+        sim.step()
+    v1 = float(np.asarray(sim.state.thick).sum())
+    assert abs(v1 - v0) / v0 < 1e-3
+    # concentration within bounds everywhere
+    c = np.asarray(sim.state.conc)
+    assert c.max() <= 1.0 + 1e-6 and c.min() >= 0.0
+
+
+@pytest.mark.skipif(not REF_TOY.exists(), reason="reference configs not mounted")
+def test_simulator_from_reference_toy_cfg():
+    cfg = Config.from_files(str(REF_TOY))
+    cfg.set("grid.nx", 48)
+    cfg.set("grid.ny", 48)
+    cfg.set("grid.resolution", 10e3)
+    cfg.set("debugging.maxiteration", 5)
+    sim = Simulator(cfg)
+    sim.run()
+    assert sim.pcpt == 5
+    assert np.isfinite(np.asarray(sim.state.vt_u)).all()

@@ -1,0 +1,272 @@
+"""Thermodynamics tests: slab models, bulk fluxes, full thermo step."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nextsim_tpu.config import Config
+from nextsim_tpu.core import constants as phys
+from nextsim_tpu.core.state import State
+from nextsim_tpu.forcing.providers import ConstantForcing
+from nextsim_tpu.grid.grid import Grid
+from nextsim_tpu.model import init_state
+from nextsim_tpu.model.params_thermo import thermo_params
+from nextsim_tpu.ops import thermo
+
+SHAPE = (4, 4)
+
+
+def cell(v):
+    return jnp.full(SHAPE, float(v), jnp.float32)
+
+
+def default_params(**over):
+    cfg = Config()
+    for k, v in over.items():
+        cfg.set(k, v)
+    return thermo_params(cfg)
+
+
+# ---------------------------------------------------------------------------
+# specific humidity / fluxes
+# ---------------------------------------------------------------------------
+
+
+def test_specific_humidity_magnitudes():
+    # near-freezing air: sphum a few g/kg; saturation over water at 0C ~3.7 g/kg
+    sph_w = thermo.specific_humidity_water(cell(0.0))
+    assert 3e-3 < float(sph_w[0, 0]) < 5e-3
+    sph_i, dsph = thermo.specific_humidity_ice(cell(1013e2), cell(-10.0))
+    assert 1e-3 < float(sph_i[0, 0]) < 2e-3
+    assert float(dsph[0, 0]) > 0  # saturation humidity rises with T
+
+
+def test_ia_fluxes_cold_surface_negative_qia():
+    """Very cold ice under warmish air with sun: net flux into the ice
+    (qia < 0); warm ice under cold dark sky: flux out (qia > 0)."""
+    p = default_params()
+    cfg = Config(overrides={"setup.atmosphere-type": "constant"})
+    grid = Grid.square(nx=4, ny=4, dx=10e3)
+    f = ConstantForcing(cfg, grid)(0.0, 0.0)
+    wspeed = thermo.wind_speed_cells(f)
+    sphuma = thermo.specific_humidity_air(p, f)
+
+    # constant forcing: tair=-25, Qlw_in=250, Qsw_in=50
+    out_cold = thermo.ia_bulk_fluxes(
+        p, f, cell(-30.0), cell(0.2), cell(1.0), cell(0.002), cell(1.3e-3),
+        cell(0.0), cell(0.0), wspeed, sphuma, False,
+    )
+    out_warm = thermo.ia_bulk_fluxes(
+        p, f, cell(-1.0), cell(0.2), cell(1.0), cell(0.002), cell(1.3e-3),
+        cell(0.0), cell(0.0), wspeed, sphuma, False,
+    )
+    # warmer surface emits more longwave & loses more sensible heat
+    assert float(out_warm["qia"][0, 0]) > float(out_cold["qia"][0, 0])
+    assert float(out_warm["dqiadT"][0, 0]) > 0.0
+    # drag coefficients stay positive and bounded
+    for k in ("drag_ui", "drag_ti"):
+        v = float(out_warm[k][0, 0])
+        assert 1e-4 < v < 1e-1
+
+
+def test_albedo_schemes():
+    p = default_params()
+    for scheme in (1, 2, 3, 4):
+        p2 = default_params(**{"thermo.alb_scheme": scheme})
+        alb_bare, pen_bare = thermo.albedo(p2, cell(-5.0), cell(0.0), cell(0.0))
+        alb_snow, pen_snow = thermo.albedo(p2, cell(-5.0), cell(0.5), cell(0.0))
+        assert float(alb_snow[0, 0]) > float(alb_bare[0, 0])  # snow brightens
+        assert float(pen_snow[0, 0]) < float(pen_bare[0, 0]) + 1e-9
+        assert 0.0 < float(alb_bare[0, 0]) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# slab models
+# ---------------------------------------------------------------------------
+
+
+def test_ice0_growth_under_strong_cooling():
+    p = default_params()
+    dt = 900.0
+    out = thermo.thermo_ice0(
+        p, dt, cell(1.0), cell(0.5), cell(0.0), cell(0.0),
+        cell(200.0),  # strong heat loss to atmosphere
+        cell(10.0), cell(0.0), cell(0.0), cell(-1.8),
+        cell(0.0),  # no ocean heat flux
+        cell(-5.0),
+    )
+    assert float(out["del_hi"][0, 0]) > 0.0  # bottom growth
+    assert float(out["tsurf"][0, 0]) < -5.0  # surface cools
+    assert float(out["hi"][0, 0]) > 0.5
+
+
+def test_ice0_melt_under_strong_warming():
+    p = default_params()
+    dt = 900.0
+    out = thermo.thermo_ice0(
+        p, dt, cell(1.0), cell(0.5), cell(0.0), cell(0.0),
+        cell(-300.0),  # strong flux into the ice
+        cell(10.0), cell(0.0), cell(0.0), cell(-1.8),
+        cell(100.0),  # ocean also melting the base
+        cell(-0.5),
+    )
+    assert float(out["del_hi"][0, 0]) < 0.0
+    assert float(out["mlt_hi_bot"][0, 0]) < 0.0
+
+
+def test_ice0_no_ice_passthrough():
+    p = default_params()
+    out = thermo.thermo_ice0(
+        p, 900.0, cell(0.0), cell(0.0), cell(0.0), cell(0.0),
+        cell(-300.0), cell(10.0), cell(0.0), cell(0.0), cell(-1.8),
+        cell(7.0), cell(-5.0),
+    )
+    assert float(out["hi"][0, 0]) == 0.0
+    assert float(out["del_hi"][0, 0]) == 0.0
+    assert float(out["qio"][0, 0]) == 7.0  # untouched
+
+
+def test_winton_growth_and_temps_bounded():
+    p = default_params()
+    dt = 900.0
+    out = thermo.thermo_winton(
+        p, dt, cell(1.0), cell(1.0), cell(0.1), cell(0.0),
+        cell(150.0), cell(10.0), cell(5.0), cell(0.0), cell(-1.8),
+        cell(0.0), cell(-10.0), cell(-8.0), cell(-4.0),
+    )
+    assert float(out["del_hi"][0, 0]) > 0.0
+    for k in ("tsurf", "t1", "t2"):
+        v = float(out[k][0, 0])
+        assert -40.0 < v <= 0.0
+    # layer temperatures ordered: surface coldest in winter
+    assert float(out["tsurf"][0, 0]) <= float(out["t1"][0, 0]) + 1.0
+
+
+def test_winton_total_melt_returns_heat_to_ocean():
+    p = default_params()
+    dt = 3600.0
+    out = thermo.thermo_winton(
+        p, dt, cell(1.0), cell(0.02), cell(0.0), cell(0.0),
+        cell(-500.0), cell(10.0), cell(0.0), cell(0.0), cell(-1.8),
+        cell(800.0), cell(-0.5), cell(-0.5), cell(-0.5),
+    )
+    assert float(out["hi"][0, 0]) == 0.0
+    assert float(out["del_hi"][0, 0]) == pytest.approx(-0.02, rel=1e-5)
+    # NB: the reference's "everything melts" refund condition
+    # (h2+h1+hs - delh2 - delh1 - del_hs_mlt <= 0, fe.cpp:6766,6784) can
+    # never fire for nonzero ice because the deltas are negative; we mirror
+    # that behaviour for parity, so qio passes through unchanged here.
+    assert float(out["qio"][0, 0]) == pytest.approx(800.0)
+
+
+# ---------------------------------------------------------------------------
+# full thermo step
+# ---------------------------------------------------------------------------
+
+
+def make_thermo_setup(**cfg_over):
+    base = {
+        "grid.nx": 16,
+        "grid.ny": 16,
+        "grid.resolution": 10e3,
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "setup.ice-type": "constant",
+        "thermo.use_thermo_forcing": True,
+        "ideal_simul.constant_wind_u": 5.0,
+    }
+    base.update(cfg_over)
+    cfg = Config(overrides=base)
+    grid = Grid.square(nx=16, ny=16, dx=10e3)
+    state = init_state.init_state(cfg, grid)
+    # the reference's constant-ocean init pins SST to +1 C (fe.cpp:11312-11315),
+    # which (faithfully) clears all constant ice via the SST limit; for thermo
+    # tests start from a freezing ocean with the ice restored
+    mask = jnp.asarray(grid.mask)
+    ny, nx = grid.shape
+    state = state.replace(
+        sst=jnp.full_like(state.sst, -1.8),
+        conc=mask * 1.0,
+        thick=mask * 1.0,
+        # winter-like internal temperature profile (State.zeros starts all
+        # layers at the ice melting point, which would first melt-adjust)
+        tice=jnp.stack([
+            jnp.full((ny, nx), -10.0), jnp.full((ny, nx), -5.0),
+            jnp.full((ny, nx), -2.0),
+        ]),
+    )
+    forcing = ConstantForcing(cfg, grid)(0.0, 0.0)
+    ga = {
+        "mask": jnp.asarray(grid.mask),
+        "open_mask": jnp.asarray(grid.open_mask),
+        "delta_x": grid.dx,
+    }
+    return cfg, grid, state, forcing, ga
+
+
+@pytest.mark.parametrize("ttype", ["winton", "zero-layer"])
+def test_thermo_step_cold_growth(ttype):
+    cfg, grid, state, forcing, ga = make_thermo_setup(**{"setup.thermo-type": ttype})
+    p = thermo_params(cfg)
+    v0 = float(np.asarray(state.thick).sum() + np.asarray(state.h_young).sum())
+    s = state
+    for _ in range(5):
+        s, diag = thermo.thermo_step(s, forcing, ga, 900.0, p)
+    # -25 C air, weak sun: the pack grows
+    v1 = float(np.asarray(s.thick).sum() + np.asarray(s.h_young).sum())
+    assert v1 > v0
+    # bounds
+    assert float(np.asarray(s.conc).max()) <= 1.0 + 1e-6
+    assert np.isfinite(np.asarray(s.tice)).all()
+    assert float(np.asarray(s.tice).max()) <= 0.0 + 1e-6
+    assert float(np.asarray(s.sst).min()) >= -2.0
+
+
+def test_thermo_step_new_ice_in_open_water():
+    """Supercooled open water forms young ice (newice_type=4)."""
+    cfg, grid, state, forcing, ga = make_thermo_setup()
+    p = thermo_params(cfg)
+    # clear the ice, chill the ocean to the freezing point
+    z = jnp.zeros_like(state.conc)
+    mask = jnp.asarray(grid.mask)
+    state = state.replace(
+        conc=z, thick=z, snow_thick=z, conc_young=z, h_young=z, hs_young=z,
+        sst=jnp.full_like(state.sst, -1.76), sss=jnp.full_like(state.sss, 32.0),
+    )
+    s = state
+    for _ in range(10):
+        s, diag = thermo.thermo_step(s, forcing, ga, 900.0, p)
+    young = float((np.asarray(s.conc_young) * np.asarray(mask)).max())
+    assert young > 0.0
+    assert float(np.asarray(s.h_young).min()) >= 0.0
+
+
+def test_thermo_step_warm_melt():
+    cfg, grid, state, forcing, ga = make_thermo_setup(
+        **{
+            "ideal_simul.constant_tair": 5.0,
+            "ideal_simul.constant_Qsw_in": 300.0,
+            "ideal_simul.constant_Qlw_in": 330.0,
+            "ideal_simul.constant_mixrat": 0.004,
+        }
+    )
+    p = thermo_params(cfg)
+    v0 = float(np.asarray(state.thick).sum())
+    s = state
+    for _ in range(20):
+        s, diag = thermo.thermo_step(s, forcing, ga, 900.0, p)
+    v1 = float(np.asarray(s.thick).sum())
+    assert v1 < v0  # melting
+    assert float(np.asarray(s.sst).max()) < 10.0
+
+
+def test_thermo_conserves_freshwater_sign_conventions():
+    cfg, grid, state, forcing, ga = make_thermo_setup()
+    p = thermo_params(cfg)
+    s, diag = thermo.thermo_step(state, forcing, ga, 900.0, p)
+    # brine flux sign opposes the ice-volume change:
+    # D_brine = -1e-3*si_eff*rhoi*del_vi/dt (fe.cpp:5941-5943)
+    brine = np.asarray(diag["brine"])[2:-2, 2:-2]
+    del_hi = np.asarray(diag["del_hi"])[2:-2, 2:-2]
+    assert (np.sign(brine) == -np.sign(del_hi)).all() or np.allclose(brine, 0)
+    assert np.isfinite(np.asarray(diag["qa"])).all()
