@@ -86,6 +86,43 @@ class Simulator:
 
         self._step_fn = self._build_step_fn()
 
+        # --- output subsystems (reference: initMoorings fe.cpp:9037;
+        # instantiateDrifters fe.cpp:13565; checkOutputs fe.cpp:8316) ------
+        self.moorings = None
+        if cfg["moorings.use_moorings"]:
+            from nextsim_tpu.output.moorings import Moorings
+
+            self.moorings = Moorings(cfg, self.grid, self.time_init)
+        from nextsim_tpu.output.drifters import instantiate_drifters
+
+        self.drifters = instantiate_drifters(
+            cfg, self.grid, np.asarray(self.state.conc), self.time_init
+        )
+        opd = cfg["output.output_per_day"]
+        if opd > 0:
+            self.export_interval_steps = max(1, int(round(phys.days_in_sec / opd / self.dt)))
+        elif opd < 0:
+            self.export_interval_steps = 1
+        else:
+            self.export_interval_steps = 0
+        if cfg["restart.write_interval_restart"]:
+            iv = cfg["restart.output_interval"]
+            if cfg["restart.output_interval_units"] == "time_steps":
+                self.restart_interval_steps = max(1, int(iv))
+            else:
+                self.restart_interval_steps = max(1, int(round(iv * phys.days_in_sec / self.dt)))
+        else:
+            self.restart_interval_steps = 0
+
+        if cfg["restart.start_from_restart"]:
+            from nextsim_tpu.output.restart import read_restart
+
+            read_restart(self)
+        if cfg["restart.write_initial_restart"]:
+            from nextsim_tpu.output.restart import write_restart
+
+            write_restart(self, name="initial")
+
     # ------------------------------------------------------------------
     def _build_step_fn(self) -> Callable:
         cfg = self.cfg
@@ -191,6 +228,10 @@ class Simulator:
 
         self.pcpt += 1
 
+        self.timer.tick("outputs")
+        self._check_outputs()
+        self.timer.tock("outputs")
+
         if self.check_fast:
             self.timer.tick("checks")
             flags = np.asarray(viol)
@@ -199,6 +240,53 @@ class Simulator:
                 self._crash_dump(msgs)
             self.timer.tock("checks")
         self.timer.tock("step")
+
+    def _check_outputs(self) -> None:
+        """Per-step output handling (reference: checkOutputs, fe.cpp:
+        8316-8450: moorings means/append, drifters move/IO, snapshots,
+        interval restarts)."""
+        t = self.current_time
+        if self.moorings is not None:
+            self.moorings.update_means(self.state, self.diag)
+            self.moorings.maybe_output(self)
+        if self.drifters:
+            vt_u = np.asarray(self.state.vt_u)
+            vt_v = np.asarray(self.state.vt_v)
+            conc = None
+            for d in self.drifters:
+                d.move(vt_u, vt_v, self.dt)
+                if conc is None:
+                    conc = np.asarray(self.state.conc)
+                d.mask_by_conc(conc)
+                d.maybe_output(t)
+        if self.export_interval_steps and self.pcpt % self.export_interval_steps == 0:
+            from nextsim_tpu.output.exporter import export_snapshot
+
+            export_snapshot(self)
+        if self.restart_interval_steps and self.pcpt % self.restart_interval_steps == 0:
+            from nextsim_tpu.output.restart import write_restart
+
+            write_restart(self)
+
+    def finalise(self) -> None:
+        """End-of-run outputs (reference: fe.cpp:8497-8508 + finalise)."""
+        cfg = self.cfg
+        if cfg["output.export_fields"] and self.export_interval_steps:
+            from nextsim_tpu.output.exporter import export_snapshot
+
+            export_snapshot(self, name="final")
+        if cfg["restart.write_final_restart"]:
+            from nextsim_tpu.output.restart import write_restart
+
+            write_restart(self, name="final")
+        import os
+
+        for d in self.drifters:
+            if d.records:
+                d.write_netcdf(
+                    os.path.join(cfg["output.exporter_path"], f"Drifters_{d.tag}.nc")
+                )
+        self.log.info("\n" + self.timer.print_all())
 
     def _crash_dump(self, msgs: List[str]) -> None:
         """Export a crash snapshot then raise (reference: fe.cpp:14647-14654)."""
@@ -230,4 +318,5 @@ class Simulator:
                     f"({100*(i+1)//n_steps}%)"
                 )
         jax.block_until_ready(self.state)
+        self.finalise()
         return self.state

@@ -1,0 +1,298 @@
+"""Gridded "moorings" output — the scientific observability channel.
+
+Equivalent of the reference's GridOutput (reference: model/gridoutput.cpp:
+173-1075, gridoutput.hpp:36-1150): time-averaged (or snapshot) fields on a
+regular output grid, written as CF-convention NetCDF with the reference's
+variable names (sic, sit, snt, siu, siv, damage, ... — gridoutput.hpp:
+256-700) and the same file-rollover options (inf/daily/weekly/monthly/yearly,
+gridoutput.hpp:44-52).
+
+Structure: per-step accumulation happens on the *model* grid on device (one
+fused add), and the model->moorings-grid remap (bilinear sampling in the
+model's stereographic projection, the analog of the reference's
+InterpFromMeshToGridx path) runs on host only at output time.
+
+NetCDF writing uses scipy's NetCDF3 writer (no external netCDF dependency);
+files are rewritten on each append (records buffered in memory), which is
+cheap at mooring-grid sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from nextsim_tpu.utils import dates
+
+
+@dataclasses.dataclass(frozen=True)
+class MVar:
+    cfg_name: str  # name used in moorings.variables
+    nc_name: str  # netCDF variable name (reference gridoutput.hpp)
+    long_name: str
+    std_name: str
+    units: str
+    source: str  # "state" | "diag" | "forcing"
+    field: str  # attribute name; for "state" components use e.g. tice[0]
+    index: Optional[int] = None  # component index for stacked fields
+
+
+# reference: gridoutput.hpp:256-700 + moorings name map fe.cpp:9062-9140
+MOORING_VARIABLES: Dict[str, MVar] = {
+    v.cfg_name: v
+    for v in [
+        MVar("conc", "sic", "Sea Ice Concentration", "sea_ice_area_fraction", "1", "state", "conc"),
+        MVar("thick", "sit", "Sea Ice Thickness", "sea_ice_thickness", "m", "state", "thick"),
+        MVar("snow", "snt", "Surface Snow Thickness", "surface_snow_thickness", "m", "state", "snow_thick"),
+        MVar("damage", "damage", "Sea Ice Damage", "sea_ice_damage", "1", "state", "damage"),
+        MVar("ridge_ratio", "ridge_ratio", "Sea Ice Volume Fraction of Ridged Ice", "sea_ice_volume_fraction_of_ridged_ice", "1", "state", "ridge_ratio"),
+        MVar("tsurf", "ts", "Surface Temperature", "surface_temperature", "degC", "state", "tice", 0),
+        MVar("t1", "t1", "Ice Temperature 1", "ice_temperature_1", "degC", "state", "tice", 1),
+        MVar("t2", "t2", "Ice Temperature 2", "ice_temperature_2", "degC", "state", "tice", 2),
+        MVar("sst", "sst", "Sea Surface Temperature", "sea_surface_temperature", "degC", "state", "sst"),
+        MVar("sss", "sss", "Sea Surface Salinity", "sea_surface_salinity", "1e-3", "state", "sss"),
+        MVar("conc_young", "sic_young", "Sea Ice Area Fraction of Young Ice", "sea_ice_classification", "1", "state", "conc_young"),
+        MVar("h_young", "sit_young", "Young Ice Thickness", "young_ice_thickness", "m", "state", "h_young"),
+        MVar("hs_young", "snt_young", "Surface Snow Thickness on young ice", "surface_snow_thickness_on_young_ice", "m", "state", "hs_young"),
+        MVar("fyi_fraction", "fyi_fraction", "First Year Ice Fraction", "fyi_fraction", "1", "state", "fyi_fraction"),
+        MVar("age_det", "siage_det", "Detectable Age of Sea Ice", "det_age_of_sea_ice", "s", "state", "age_det"),
+        MVar("age", "siage", "Age of Sea Ice", "age_of_sea_ice", "s", "state", "age"),
+        MVar("conc_upd", "conc_upd", "conc_upd", "conc_upd", "1", "state", "conc_upd"),
+        MVar("sigma_11", "sigma_11", "Stress tensor 11", "stress_tensor_11", "Pa", "state", "sigma", 0),
+        MVar("sigma_22", "sigma_22", "Stress tensor 22", "stress_tensor_22", "Pa", "state", "sigma", 1),
+        MVar("sigma_12", "sigma_12", "Stress tensor 12", "stress_tensor_12", "Pa", "state", "sigma", 2),
+        MVar("meltpond_volume", "meltpond_volume", "Meltpond volume", "meltpond_volume", "m", "state", "pond_volume"),
+        MVar("meltpond_lid_volume", "meltpond_lid_volume", "Meltpond lid volume", "meltpond_lid_volume", "m", "state", "lid_volume"),
+        MVar("meltpond_fraction", "meltpond_fraction", "Meltpond fraction", "meltpond_fraction", "1", "diag", "pond_fraction"),
+        MVar("conc_myi", "conc_myi", "Multiyear ice concentration", "myi_area_fraction", "1", "state", "conc_myi"),
+        MVar("thick_myi", "thick_myi", "Multiyear ice thickness", "myi_thickness", "m", "state", "thick_myi"),
+        MVar("conc_summer", "conc_summer", "Summer minimum concentration", "summer_conc", "1", "state", "conc_summer"),
+        MVar("thick_summer", "thick_summer", "Summer minimum thickness", "summer_thick", "m", "state", "thick_summer"),
+        MVar("freeze_days", "freeze_days", "Consecutive freezing days", "freeze_days", "days", "state", "freeze_days"),
+        MVar("freeze_onset", "freeze_onset", "Freeze onset", "freeze_onset", "1", "state", "freeze_onset"),
+        MVar("del_vi_tend", "del_vi_tend", "Daily ice volume tendency", "del_vi_tend", "m/day", "state", "del_vi_tend"),
+        MVar("drag_ui", "drag_ui", "Ice-atmosphere drag", "ice_atm_drag", "1", "state", "drag_ui"),
+        MVar("drag_ti", "drag_ti", "Ice-atmosphere thermo drag", "ice_atm_thermo_drag", "1", "state", "drag_ti"),
+        # flux diagnostics (reference: gridoutput.hpp Qa..)
+        MVar("Qa", "hfs", "Total heat flux to atmosphere", "surface_upward_heat_flux", "W m-2", "diag", "qa"),
+        MVar("Qo", "hfos", "Total heat lost by ocean", "ocean_heat_loss", "W m-2", "diag", "qo"),
+        MVar("Qsw", "rss", "Net shortwave", "net_upward_shortwave_flux", "W m-2", "diag", "qsw"),
+        MVar("Qlw", "rls", "Net longwave", "net_upward_longwave_flux", "W m-2", "diag", "qlw"),
+        MVar("Qsh", "hfss", "Sensible heat flux", "surface_upward_sensible_heat_flux", "W m-2", "diag", "qsh"),
+        MVar("Qlh", "hfsl", "Latent heat flux", "surface_upward_latent_heat_flux", "W m-2", "diag", "qlh"),
+        MVar("delS", "sfo", "Virtual salt flux to ocean", "virtual_salt_flux", "g m-2 day-1", "diag", "dels"),
+        MVar("vice_melt", "vice_melt", "Ice volume melt rate", "vice_melt", "m/day", "diag", "vice_melt"),
+        MVar("del_vi_young", "del_vi_young", "Young ice volume rate", "del_vi_young", "m/day", "diag", "del_vi_young"),
+        MVar("del_hi", "del_hi", "Ice growth/melt rate", "del_hi", "m/day", "diag", "del_hi"),
+        MVar("del_hi_young", "del_hi_young", "Young ice growth/melt rate", "del_hi_young", "m/day", "diag", "del_hi_young"),
+        MVar("newice", "newice", "New ice formation rate", "newice", "m/day", "diag", "newice"),
+        MVar("mlt_bot", "mlt_bot", "Bottom melt rate", "mlt_bot", "m/day", "diag", "mlt_bot"),
+        MVar("mlt_top", "mlt_top", "Top melt rate", "mlt_top", "m/day", "diag", "mlt_top"),
+        MVar("snow2ice", "snow2ice", "Snow-ice formation rate", "snow2ice", "m/day", "diag", "snow2ice"),
+        MVar("fwflux", "fwflux", "Freshwater flux at surface", "fwflux", "kg m-2 s-1", "diag", "fwflux"),
+        MVar("fwflux_ice", "fwflux_ice", "Freshwater flux from ice", "fwflux_ice", "kg m-2 s-1", "diag", "fwflux_ice"),
+        MVar("evap", "evap", "Evaporation", "evaporation", "kg m-2 s-1", "diag", "evap"),
+        MVar("rain", "rain", "Rain", "rainfall", "kg m-2 s-1", "diag", "rain"),
+        MVar("albedo", "albedo", "Surface albedo", "surface_albedo", "1", "diag", "albedo"),
+        MVar("sialb", "sialb", "Sea ice albedo", "sea_ice_albedo", "1", "diag", "sialb"),
+        MVar("divergence", "divergence", "Velocity divergence", "divergence_of_sea_ice_velocity", "s-1", "diag", "divergence"),
+    ]
+}
+
+#: nodal vector variables (reference: velocity pair siu/siv)
+VECTOR_VARIABLES = {"velocity": (("siu", "Sea Ice X Velocity", "sea_ice_x_velocity", "m s-1", "vt_u"),
+                                 ("siv", "Sea Ice Y Velocity", "sea_ice_y_velocity", "m s-1", "vt_v"))}
+
+
+class Moorings:
+    """Running-mean accumulator + regular-grid NetCDF writer."""
+
+    def __init__(self, cfg, grid, time_init: float):
+        self.cfg = cfg
+        self.grid = grid
+        self.snapshot = cfg["moorings.snapshot"]
+        self.names: List[str] = [v for v in cfg["moorings.variables"]]
+        units = cfg["moorings.output_time_step_units"]
+        step_days = cfg["simul.timestep"] / 86400.0
+        if units == "time_steps":
+            self.output_dt_days = cfg["moorings.output_timestep"] * step_days
+        else:
+            self.output_dt_days = cfg["moorings.output_timestep"]
+        self.file_length = cfg["moorings.file_length"]
+        self.path = cfg["output.exporter_path"]
+        self.spacing = cfg["moorings.spacing"] * 1e3  # km -> m
+        self.time_init = time_init
+
+        # output grid: regular in the model projection covering the domain
+        # (reference: initRegularGrid, gridoutput.cpp:173-226)
+        nxo = max(1, int(round(grid.nx * grid.dx / self.spacing)))
+        nyo = max(1, int(round(grid.ny * grid.dx / self.spacing)))
+        self.out_shape = (nyo, nxo)
+        self.xo = grid.x0 + (np.arange(nxo) + 0.5) * self.spacing
+        self.yo = grid.y0 + (np.arange(nyo) + 0.5) * self.spacing
+        lat, lon = grid.projection.inverse(
+            np.broadcast_to(self.xo[None, :], self.out_shape),
+            np.broadcast_to(self.yo[:, None], self.out_shape),
+        )
+        self.lat, self.lon = np.asarray(lat), np.asarray(lon)
+
+        # precompute bilinear sampling weights model-cells -> output points
+        self._cell_interp = _BilinearSampler(
+            grid.x0 + 0.5 * grid.dx, grid.y0 + 0.5 * grid.dx, grid.dx,
+            grid.shape, self.xo, self.yo,
+        )
+        self._node_interp = _BilinearSampler(
+            grid.x0, grid.y0, grid.dx, grid.node_shape, self.xo, self.yo
+        )
+        # land-sea mask on the output grid (reference: setLSM/applyLSM)
+        self.lsm = (self._cell_interp(grid.mask) > 0.5).astype(np.float32)
+
+        self.reset_means()
+        self._records: Dict[str, List] = {}  # per-file record buffers
+        self._last_output_time = time_init
+
+    # ------------------------------------------------------------------
+    def reset_means(self):
+        self._accum: Dict[str, jnp.ndarray] = {}
+        self._count = 0
+
+    def update_means(self, state, diag: Dict):
+        """Accumulate on the model grid (device; reference: updateMeans,
+        fe.cpp:8518-9037)."""
+        for name in self.names:
+            arr = self._extract(name, state, diag)
+            if arr is None:
+                continue
+            for key, a in arr.items():
+                self._accum[key] = self._accum.get(key, 0.0) + a
+        self._count += 1
+
+    def _extract(self, name, state, diag) -> Optional[Dict[str, jnp.ndarray]]:
+        if name in VECTOR_VARIABLES:
+            (unm, *_, uf), (vnm, *_, vf) = VECTOR_VARIABLES[name]
+            return {unm: getattr(state, uf), vnm: getattr(state, vf)}
+        mv = MOORING_VARIABLES.get(name)
+        if mv is None:
+            return None
+        if mv.source == "state":
+            a = getattr(state, mv.field)
+            if mv.index is not None:
+                a = a[mv.index]
+            return {mv.nc_name: a}
+        if mv.source == "diag" and diag and mv.field in diag:
+            return {mv.nc_name: diag[mv.field]}
+        return None
+
+    # ------------------------------------------------------------------
+    def maybe_output(self, sim) -> Optional[str]:
+        """Call once per step after update_means; writes when due."""
+        t = sim.current_time
+        due = t - self._last_output_time >= self.output_dt_days - 1e-9
+        if not due or self._count == 0:
+            return None
+        self._last_output_time = t
+        return self._write_record(t)
+
+    def _write_record(self, t: float) -> str:
+        n = 1 if self.snapshot else self._count
+        fields = {}
+        for key, acc in self._accum.items():
+            mean = np.asarray(acc) / (self._count if not self.snapshot else self._count)
+            # remap to output grid
+            if mean.shape == self.grid.shape:
+                out = self._cell_interp(mean)
+            else:
+                out = self._node_interp(mean)
+            fields[key] = np.where(self.lsm > 0.5, out, np.nan).astype(np.float32)
+        self.reset_means()
+
+        fname = self._filename(t)
+        recs = self._records.setdefault(fname, [])
+        recs.append((t, fields))
+        self._flush(fname)
+        return fname
+
+    def _filename(self, t: float) -> str:
+        # (reference: fileLength rollover, gridoutput.hpp:44-52)
+        d = dates.datenum_to_datetime(t)
+        if self.file_length == "daily":
+            tag = d.strftime("%Y%m%d")
+        elif self.file_length == "weekly":
+            tag = d.strftime("%Yw%W")
+        elif self.file_length == "monthly":
+            tag = d.strftime("%Y%m")
+        elif self.file_length == "yearly":
+            tag = d.strftime("%Y")
+        else:
+            tag = dates.datenum_to_string(self.time_init, "%Y%m%d")
+        return os.path.join(self.path, f"Moorings_{tag}.nc")
+
+    def _flush(self, fname: str):
+        from scipy.io import netcdf_file
+
+        os.makedirs(self.path, exist_ok=True)
+        recs = self._records[fname]
+        nyo, nxo = self.out_shape
+        with netcdf_file(fname, "w", version=2) as nc:
+            nc.createDimension("time", None)
+            nc.createDimension("y", nyo)
+            nc.createDimension("x", nxo)
+            tvar = nc.createVariable("time", "f8", ("time",))
+            tvar.units = b"days since 1900-01-01 00:00:00"
+            tvar.standard_name = b"time"
+            tvar[:] = np.asarray([r[0] for r in recs])
+            for nm, arr, unit, sname in (
+                ("longitude", self.lon, b"degrees_east", b"longitude"),
+                ("latitude", self.lat, b"degrees_north", b"latitude"),
+                ("lsm", self.lsm, b"1", b"land_sea_mask"),
+            ):
+                v = nc.createVariable(nm, "f4", ("y", "x"))
+                v.units = unit
+                v.standard_name = sname
+                v[:] = arr.astype(np.float32)
+            keys = recs[0][1].keys()
+            for key in keys:
+                v = nc.createVariable(key, "f4", ("time", "y", "x"))
+                mv = next((m for m in MOORING_VARIABLES.values() if m.nc_name == key), None)
+                if mv is not None:
+                    v.units = mv.units.encode()
+                    v.long_name = mv.long_name.encode()
+                    v.standard_name = mv.std_name.encode()
+                v[:] = np.stack([r[1][key] for r in recs])
+
+
+class _BilinearSampler:
+    """Bilinear interpolation from a uniform source grid to fixed points."""
+
+    def __init__(self, x0, y0, dx, src_shape, xq, yq):
+        ny, nx = src_shape
+        fx = (np.asarray(xq) - x0) / dx
+        fy = (np.asarray(yq) - y0) / dx
+        fx = np.clip(fx, 0.0, nx - 1.0)
+        fy = np.clip(fy, 0.0, ny - 1.0)
+        self.i0 = np.floor(fx).astype(np.int32)
+        self.j0 = np.floor(fy).astype(np.int32)
+        self.i1 = np.minimum(self.i0 + 1, nx - 1)
+        self.j1 = np.minimum(self.j0 + 1, ny - 1)
+        self.wx = (fx - self.i0).astype(np.float32)
+        self.wy = (fy - self.j0).astype(np.float32)
+
+    def __call__(self, field: np.ndarray) -> np.ndarray:
+        f = np.asarray(field)
+        j0, j1 = self.j0[:, None], self.j1[:, None]
+        i0, i1 = self.i0[None, :], self.i1[None, :]
+        wx, wy = self.wx[None, :], self.wy[:, None]
+        v00 = f[j0, i0]
+        v01 = f[j0, i1]
+        v10 = f[j1, i0]
+        v11 = f[j1, i1]
+        return (
+            v00 * (1 - wx) * (1 - wy)
+            + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy
+            + v11 * wx * wy
+        )

@@ -1,0 +1,136 @@
+"""Output subsystem tests: moorings NetCDF, restart roundtrip, drifters."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nextsim_tpu.config import Config
+from nextsim_tpu.grid.grid import Grid
+from nextsim_tpu.model.simulator import Simulator
+from nextsim_tpu.output import restart as restart_mod
+from nextsim_tpu.output.drifters import DrifterSet
+
+
+def toy_cfg(tmp_path, **over):
+    base = {
+        "grid.nx": 32,
+        "grid.ny": 32,
+        "grid.resolution": 10e3,
+        "simul.timestep": 200,
+        "simul.time_init": "2015-10-16 00:00:00",
+        "simul.duration": 1.0,
+        "thermo.use_thermo_forcing": False,
+        "dynamics.use_coriolis": False,
+        # dte = 200/60 = 3.3 s keeps the elastic CFL ~0.27 at 10 km
+        "dynamics.substeps": 60,
+        "setup.ice-type": "constant",
+        "setup.ocean-type": "constant",
+        "setup.atmosphere-type": "constant",
+        "ideal_simul.constant_wind_u": 15.0,
+        "simul.spinup_duration": 0.0,
+        "output.exporter_path": str(tmp_path),
+        "moorings.use_moorings": True,
+        "moorings.spacing": 20.0,  # km: coarser than the 10 km model grid
+        "moorings.output_timestep": 200.0 / 86400.0 * 2,  # every 2 steps
+        "moorings.variables": ["conc", "thick", "velocity", "damage"],
+    }
+    base.update(over)
+    cfg = Config()
+    for k, v in base.items():
+        if k == "moorings.variables":
+            cfg._values[k] = v
+        else:
+            cfg.set(k, v)
+    return cfg
+
+
+def test_moorings_netcdf_written(tmp_path):
+    sim = Simulator(toy_cfg(tmp_path))
+    for _ in range(4):
+        sim.step()
+    files = [f for f in os.listdir(tmp_path) if f.startswith("Moorings")]
+    assert len(files) == 1
+    from scipy.io import netcdf_file
+
+    with netcdf_file(os.path.join(tmp_path, files[0]), "r") as nc:
+        assert "sic" in nc.variables and "siu" in nc.variables
+        sic = nc.variables["sic"][:].copy()
+        assert sic.shape[0] == 2  # two records
+        # ocean interior fully ice covered
+        assert np.nanmax(sic) == pytest.approx(1.0, abs=1e-5)
+        lat = nc.variables["latitude"][:].copy()
+        assert np.isfinite(lat).all()
+        t = nc.variables["time"][:].copy()
+        assert t[1] > t[0]
+
+
+def test_restart_roundtrip_bitwise(tmp_path):
+    cfg = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
+    sim = Simulator(cfg)
+    for _ in range(3):
+        sim.step()
+    fname = restart_mod.write_restart(sim, name="test")
+    ref_state = {k: np.asarray(getattr(sim.state, k)) for k in ("conc", "thick", "vt_u", "damage", "sigma")}
+    ref_time = sim.current_time
+
+    # fresh simulator, restore
+    cfg2 = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
+    cfg2.set("restart.type", "continue")
+    sim2 = Simulator(cfg2)
+    restart_mod.read_restart(sim2, basename="test")
+    assert sim2.pcpt == 3
+    assert sim2.current_time == pytest.approx(ref_time)
+    for k, v in ref_state.items():
+        np.testing.assert_array_equal(np.asarray(getattr(sim2.state, k)), v)
+
+    # deterministic resume: one more step from each must agree exactly
+    sim.step()
+    sim2.step()
+    np.testing.assert_array_equal(np.asarray(sim.state.conc), np.asarray(sim2.state.conc))
+    np.testing.assert_array_equal(np.asarray(sim.state.vt_u), np.asarray(sim2.state.vt_u))
+
+
+def test_drifters_uniform_motion(tmp_path):
+    g = Grid.square(nx=32, ny=32, dx=10e3)
+    conc = np.ones(g.shape, np.float32)
+    d = DrifterSet.equally_spaced(g, 40e3, conc, 0.15, 0.5, 0.0)
+    n0 = len(d.x)
+    assert n0 > 0
+    u = np.full(g.node_shape, 0.5, np.float32)
+    v = np.full(g.node_shape, -0.25, np.float32)
+    x_before = d.x.copy()
+    for _ in range(10):
+        d.move(u, v, 600.0)
+    np.testing.assert_allclose(d.x - x_before, 0.5 * 6000.0, rtol=1e-6)
+    d.maybe_output(1.0)
+    assert len(d.records) == 1
+    out = os.path.join(tmp_path, "drifters.nc")
+    d.write_netcdf(out)
+    assert os.path.exists(out)
+    txt = os.path.join(tmp_path, "drifters.txt")
+    d.write_text(txt)
+    assert "BuoyID" in open(txt).read()
+
+
+def test_drifters_die_in_open_water():
+    g = Grid.square(nx=32, ny=32, dx=10e3)
+    conc = np.ones(g.shape, np.float32)
+    conc[:, :16] = 0.0  # left half open water
+    d = DrifterSet.equally_spaced(g, 40e3, conc, 0.15, 0.5, 0.0)
+    xs = d.x.copy()
+    # all buoys start in ice
+    assert d.alive.all()
+    # drift everything left into open water
+    d.x -= 200e3
+    d.mask_by_conc(conc)
+    assert (~d.alive[d.x < g.x0 + 140e3]).all()
+
+
+def test_simulator_snapshot_export(tmp_path):
+    cfg = toy_cfg(tmp_path, **{"moorings.use_moorings": False, "output.output_per_day": -1})
+    sim = Simulator(cfg)
+    sim.step()
+    files = [f for f in os.listdir(tmp_path) if f.startswith("field_")]
+    assert any(f.endswith(".npz") for f in files)
+    assert any(f.endswith(".json") for f in files)
