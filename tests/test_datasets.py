@@ -1,0 +1,116 @@
+"""Forcing dataset ingest tests with synthetic NetCDF files."""
+
+import datetime
+import os
+
+import numpy as np
+import pytest
+
+from nextsim_tpu.config import Config
+from nextsim_tpu.forcing.datasets import (
+    REGISTRY,
+    DatasetForcing,
+    _DatasetReader,
+    _parse_time_units,
+    _RegularLatLonInterp,
+)
+from nextsim_tpu.grid.grid import Grid
+
+
+def write_era5_like(tmp_path, year=2015):
+    """Synthetic per-variable yearly ERA5 files on a coarse lat/lon grid."""
+    from scipy.io import netcdf_file
+
+    lats = np.arange(40.0, 90.1, 2.0)
+    lons = np.arange(-180.0, 180.0, 4.0)
+    # hourly -> keep just 8 times, 3-hourly from Oct 16
+    epoch = datetime.datetime(1900, 1, 1)
+    base = (datetime.datetime(year, 10, 16) - epoch).total_seconds() / 3600.0
+    times = base + np.arange(8) * 3.0  # hours since 1900
+
+    def field(t_index):
+        # zonal wind increasing with time; temperature varying with lat
+        return np.ones((len(lats), len(lons)))
+
+    for var, gen in [
+        ("u10", lambda ti: np.full((len(lats), len(lons)), 5.0 + ti)),
+        ("v10", lambda ti: np.zeros((len(lats), len(lons)))),
+        ("t2m", lambda ti: 258.15 + np.broadcast_to(np.linspace(0, 10, len(lats))[:, None], (len(lats), len(lons)))),
+        ("msl", lambda ti: np.full((len(lats), len(lons)), 1013e2)),
+        ("msdwswrf", lambda ti: np.full((len(lats), len(lons)), 50.0)),
+        ("msdwlwrf", lambda ti: np.full((len(lats), len(lons)), 250.0)),
+        ("mtpr", lambda ti: np.full((len(lats), len(lons)), 1e-5)),
+        ("msr", lambda ti: np.full((len(lats), len(lons)), 9e-6)),
+        ("d2m", lambda ti: np.full((len(lats), len(lons)), 258.15)),
+    ]:
+        with netcdf_file(os.path.join(tmp_path, f"ERA5_{var}_y{year}.nc"), "w") as nc:
+            nc.createDimension("time", len(times))
+            nc.createDimension("latitude", len(lats))
+            nc.createDimension("longitude", len(lons))
+            tv = nc.createVariable("time", "f8", ("time",))
+            tv.units = b"hours since 1900-01-01 00:00:00"
+            tv[:] = times
+            la = nc.createVariable("latitude", "f4", ("latitude",))
+            la[:] = lats
+            lo = nc.createVariable("longitude", "f4", ("longitude",))
+            lo[:] = lons
+            v = nc.createVariable(var, "f4", ("time", "latitude", "longitude"))
+            v[:] = np.stack([gen(ti) for ti in range(len(times))])
+
+
+def test_parse_time_units():
+    epoch, f = _parse_time_units("hours since 1950-01-01 00:00:00")
+    assert f == pytest.approx(1 / 24)
+    assert epoch == pytest.approx(18262.0)  # days from 1900 to 1950
+
+
+def test_regular_latlon_interp_exact_on_linear():
+    lats = np.arange(50.0, 90.0, 2.0)
+    lons = np.arange(0.0, 360.0, 4.0)
+    f = np.broadcast_to(lats[:, None], (len(lats), len(lons))).copy()
+    it = _RegularLatLonInterp(lats, lons, np.array([[61.0]]), np.array([[10.0]]), True)
+    assert float(it(f)[0, 0]) == pytest.approx(61.0, abs=1e-6)
+
+
+def test_dataset_reader_era5(tmp_path):
+    write_era5_like(tmp_path)
+    grid = Grid.square(nx=16, ny=16, dx=50e3, x0=-400e3, y0=-2800e3)
+    reader = _DatasetReader(REGISTRY["era5"], grid, str(tmp_path))
+    # t = 2015-10-16 04:30 → between plane 1 (03:00) and plane 2 (06:00)
+    from nextsim_tpu.utils.dates import string_to_datenum
+
+    t = string_to_datenum("2015-10-16 04:30:00")
+    fields = reader.fields_at(t)
+    assert "tair" in fields and "wind_u" in fields
+    assert fields["tair"].shape == grid.shape
+    assert fields["wind_u"].shape == grid.node_shape
+    # u10 = 5 + time_index; at 04:30 interp between 6.0 and 7.0 -> 6.5;
+    # rotation mixes u/v but |v_en|=(6.5, 0) so |result| must be 6.5
+    mag = np.hypot(fields["wind_u"], fields["wind_v"])
+    np.testing.assert_allclose(mag, 6.5, rtol=1e-5)
+    # tair varies linearly with latitude: in range [-15, -5]
+    assert fields["tair"].min() > -16 and fields["tair"].max() < -4
+
+
+def test_dataset_forcing_provider(tmp_path):
+    write_era5_like(tmp_path)
+    cfg = Config(
+        overrides={
+            "setup.atmosphere-type": "era5",
+            "setup.ocean-type": "constant",
+            "setup.atmospheric_forcing_input_path": str(tmp_path),
+            "simul.spinup_duration": 0.0,
+        }
+    )
+    grid = Grid.square(nx=8, ny=8, dx=50e3, x0=-200e3, y0=-2800e3)
+    provider = DatasetForcing(cfg, grid)
+    from nextsim_tpu.utils.dates import string_to_datenum
+
+    t0 = string_to_datenum("2015-10-16 03:00:00")
+    f = provider(t0, t0)
+    assert f.wind_u.shape == grid.node_shape
+    mag = np.hypot(np.asarray(f.wind_u), np.asarray(f.wind_v))
+    np.testing.assert_allclose(mag, 6.0, rtol=1e-5)  # plane index 1
+    # ocean fields fall back to constant provider
+    assert float(np.asarray(f.ocean_u).max()) == 0.0
+    assert float(np.asarray(f.mld)[0, 0]) == cfg["ideal_simul.constant_mld"]
