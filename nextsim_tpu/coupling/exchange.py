@@ -1,0 +1,147 @@
+"""Coupling exchange surface — the OASIS3-MCT stand-in.
+
+The reference couples to NEMO (ocean) and WW3 (waves) through OASIS3-MCT
+(reference: modules/oasis/src/oasis_cpp_interface.cpp:1-149; initOASIS
+fe.cpp:7585-7860; the put loop fe.cpp:8226-8265). The exchange grid is a
+GridOutput instance (M_cpl_out), fields are time-averaged over
+`coupler.timestep` and put/get via the coupler library.
+
+Here the same exchange surface is file-based ("OASIS stub with prescribed
+ocean exchange fields", BASELINE.json config 4): sent fields are averaged on
+the model grid and written as `cpl_out_<YYYYMMDDTHHMMSSZ>.nc` on the
+exchange grid; received fields are read from `cpl_in_<...>.nc` when present
+and override the ocean/wave forcing for the next window. A real
+OASIS/socket transport can replace the file IO behind the same interface.
+
+Sent fields (reference: go.hpp:223-233 + setupCplFields):
+  taux, tauy        ice-ocean stress        [N/m2]
+  emp               evap minus precip       [kg/m2/s]
+  QNoSw, QSwOcean   non-solar / solar flux  [W/m2]
+  Sflx              salt flux               [g/m2/day]
+  conc              ice concentration       [1]
+Received fields (reference: ocean_cpl_* / wave_cpl_* datasets,
+dataset.cpp:2609-3396):
+  sst, sss, uocean, vocean, ssh, mld, qsrml, tauwix, tauwiy, wlbk
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from nextsim_tpu.utils import dates
+
+SENT_FIELDS = {
+    "taux": ("diag", "tau_wx"),
+    "tauy": ("diag", "tau_wy"),
+    "emp": ("diag", "fwflux"),  # sign: reference sends -fwflux as emp
+    "QNoSw": ("diag", "qnosun"),
+    "QSwOcean": ("diag", "qsw_ocean"),
+    "Sflx": ("diag", "dels"),
+    "conc": ("state", "conc"),
+}
+
+RECEIVED_TO_FORCING = {
+    "sst": "ocean_temp",
+    "sss": "ocean_salt",
+    "uocean": "ocean_u",
+    "vocean": "ocean_v",
+    "ssh": "ssh",
+    "mld": "mld",
+    "tauwix": "tau_wi_u",
+    "tauwiy": "tau_wi_v",
+    "wlbk": "wlbk",
+}
+
+NODE_TARGETS = {"ocean_u", "ocean_v", "ssh", "tau_wi_u", "tau_wi_v"}
+
+
+class Coupler:
+    def __init__(self, cfg, grid, time_init: float, directory: Optional[str] = None):
+        self.cfg = cfg
+        self.grid = grid
+        self.dt_cpl = cfg["coupler.timestep"]  # seconds
+        self.directory = directory or os.path.join(cfg["output.exporter_path"], "coupler")
+        os.makedirs(self.directory, exist_ok=True)
+        self._accum: Dict[str, np.ndarray] = {}
+        self._count = 0
+        self._last_put = time_init
+        self._received: Dict[str, jnp.ndarray] = {}
+
+    # -- put path ----------------------------------------------------------
+    def accumulate(self, state, diag: Dict):
+        """Per-step running means (reference: updateMeans for M_cpl_out)."""
+        for name, (src, field) in SENT_FIELDS.items():
+            if src == "state":
+                arr = getattr(state, field, None)
+            else:
+                arr = diag.get(field)
+            if arr is None:
+                continue
+            a = np.asarray(arr, np.float64)
+            self._accum[name] = self._accum.get(name, 0.0) + a
+        self._count += 1
+
+    def maybe_exchange(self, t_days: float) -> bool:
+        """Put the averaged fields + read any provided input file when a
+        coupling window closes. Returns True when an exchange happened."""
+        window_days = self.dt_cpl / 86400.0
+        if t_days - self._last_put < window_days - 1e-9 or self._count == 0:
+            return False
+        tag = dates.datenum_to_string(t_days)
+        self._write_put(tag)
+        self._read_get(tag)
+        self._accum = {}
+        self._count = 0
+        self._last_put = t_days
+        return True
+
+    def _write_put(self, tag: str):
+        from scipy.io import netcdf_file
+
+        path = os.path.join(self.directory, f"cpl_out_{tag}.nc")
+        ny, nx = self.grid.shape
+        with netcdf_file(path, "w", version=2) as nc:
+            nc.createDimension("y", ny)
+            nc.createDimension("x", nx)
+            for name, acc in self._accum.items():
+                mean = acc / self._count
+                if mean.shape != (ny, nx):  # node field -> cell mean
+                    mean = 0.25 * (
+                        mean[:-1, :-1] + mean[:-1, 1:] + mean[1:, :-1] + mean[1:, 1:]
+                    )
+                v = nc.createVariable(name, "f4", ("y", "x"))
+                v[:] = mean.astype(np.float32)
+
+    def _read_get(self, tag: str):
+        path = os.path.join(self.directory, f"cpl_in_{tag}.nc")
+        if not os.path.exists(path):
+            # also accept a static prescribed file
+            path = os.path.join(self.directory, "cpl_in.nc")
+            if not os.path.exists(path):
+                return
+        from nextsim_tpu.forcing.netcdf_io import NCFile
+
+        with NCFile(path) as nc:
+            for name, target in RECEIVED_TO_FORCING.items():
+                if name in nc.variables:
+                    arr = np.asarray(nc.variables[name][:], np.float32)
+                    self._received[target] = jnp.asarray(np.squeeze(arr))
+
+    # -- get path ----------------------------------------------------------
+    def apply_received(self, forcing):
+        """Override forcing with the last received exchange fields."""
+        if not self._received:
+            return forcing
+        updates = {}
+        for target, arr in self._received.items():
+            want_node = target in NODE_TARGETS
+            if want_node and arr.shape == self.grid.shape:
+                from nextsim_tpu.ops import stencil
+
+                arr = stencil.node_mean_of_cells(arr, jnp.ones_like(arr))
+            updates[target] = arr
+        return forcing.replace(**updates)

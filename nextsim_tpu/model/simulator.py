@@ -74,6 +74,14 @@ class Simulator:
         # --- state + forcing ----------------------------------------------
         self.state = init_state.init_state(cfg, self.grid, dtype=self.dtype)
         self.forcing_provider = make_provider(cfg, self.grid, self.dtype)
+        # ensemble member > 0: perturbed forcing (reference: #ifdef ENSEMBLE,
+        # externaldata.cpp:244-278; modules/enkf/perturbation)
+        if cfg["statevector.ensemble_member"] > 0:
+            from nextsim_tpu.ensemble import EnsembleForcing
+
+            self.forcing_provider = EnsembleForcing(
+                self.forcing_provider, self.grid, cfg
+            )
 
         # sharding (multi-chip): annotate the state with a 2-D mesh layout
         self.device_mesh = mesh
@@ -98,6 +106,29 @@ class Simulator:
         self.drifters = instantiate_drifters(
             cfg, self.grid, np.asarray(self.state.conc), self.time_init
         )
+        # coupling exchange (reference: initOASIS fe.cpp:7585-7860)
+        self.coupler = None
+        if cfg["setup.ocean-type"] == "coupled" or cfg["coupler.with_waves"]:
+            from nextsim_tpu.coupling import Coupler
+
+            self.coupler = Coupler(cfg, self.grid, self.time_init)
+
+        # nesting sponge (reference: forcingNesting fe.cpp:11060-11130)
+        self.nesting = None
+        if cfg["nesting.use_nesting"]:
+            from nextsim_tpu.model.nesting_source import NestingSource
+            from nextsim_tpu.ops.nesting import (
+                NestingParams,
+                distance_to_open_boundary,
+                nudge_weight,
+            )
+
+            npar = NestingParams.from_config(cfg)
+            dist = distance_to_open_boundary(self.grid)
+            weight = jnp.asarray(nudge_weight(dist, npar, self.dt), self.dtype)
+            source = NestingSource(cfg["nesting.outer_mesh"], self.grid)
+            self.nesting = (npar, weight, source)
+
         opd = cfg["output.output_per_day"]
         if opd > 0:
             self.export_interval_steps = max(1, int(round(phys.days_in_sec / opd / self.dt)))
@@ -219,6 +250,8 @@ class Simulator:
         self.timer.tick("step")
         self.timer.tick("forcing")
         forcing = self.forcing_provider(self.current_time + self.dt * dates.DAYS_IN_SEC, self.time_init)
+        if self.coupler is not None:
+            forcing = self.coupler.apply_received(forcing)
         tinfo = self.time_info()
         self.timer.tock("forcing")
 
@@ -226,7 +259,20 @@ class Simulator:
         self.state, self.diag, viol = self._step_fn(self.state, forcing, tinfo)
         self.timer.tock("device_step")
 
+        if self.nesting is not None:
+            from nextsim_tpu.ops.nesting import apply_nesting
+
+            npar, weight, source = self.nesting
+            outer = source.fields_at(self.current_time + self.dt * dates.DAYS_IN_SEC)
+            if outer:
+                self.state = apply_nesting(self.state, outer, weight, npar)
+
         self.pcpt += 1
+
+        if self.coupler is not None:
+            # (reference: OASIS put block, fe.cpp:8226-8265)
+            self.coupler.accumulate(self.state, self.diag)
+            self.coupler.maybe_exchange(self.current_time)
 
         self.timer.tick("outputs")
         self._check_outputs()

@@ -1,0 +1,181 @@
+"""Tests for ensemble perturbations, nesting sponge, coupling stub."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nextsim_tpu.config import Config
+from nextsim_tpu.coupling import Coupler
+from nextsim_tpu.ensemble import EnsembleForcing, PerturbationParams, spectral_noise
+from nextsim_tpu.forcing.providers import ConstantForcing
+from nextsim_tpu.grid.grid import Grid
+from nextsim_tpu.model.simulator import Simulator
+from nextsim_tpu.ops import nesting
+
+
+# ---------------------------------------------------------------------------
+# ensemble
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_noise_statistics():
+    key = jax.random.PRNGKey(0)
+    f = spectral_noise(key, (128, 128), rh_cells=10.0)
+    a = np.asarray(f)
+    assert abs(a.mean()) < 0.1
+    assert abs(a.std() - 1.0) < 0.05
+    # spatial correlation: neighbours highly correlated at rh=10
+    c1 = np.corrcoef(a[:, :-1].ravel(), a[:, 1:].ravel())[0, 1]
+    assert c1 > 0.9
+    # decorrelation at ~3*rh
+    c30 = np.corrcoef(a[:, :-30].ravel(), a[:, 30:].ravel())[0, 1]
+    assert c30 < 0.5
+
+
+def test_ensemble_members_differ_control_unperturbed():
+    grid = Grid.square(nx=32, ny=32, dx=10e3)
+    base_cfg = lambda m: Config(
+        overrides={
+            "setup.atmosphere-type": "constant",
+            "ideal_simul.constant_wind_u": 10.0,
+            "statevector.ensemble_member": m,
+            "simul.spinup_duration": 0.0,
+        }
+    )
+    f0 = ConstantForcing(base_cfg(0), grid)(0.0, 0.0)
+    members = {}
+    for m in (0, 1, 2):
+        cfg = base_cfg(m)
+        prov = EnsembleForcing(ConstantForcing(cfg, grid), grid, cfg)
+        members[m] = prov(0.0, 0.0)
+    # control identical to unperturbed
+    np.testing.assert_array_equal(np.asarray(members[0].tair), np.asarray(f0.tair))
+    # members 1, 2 perturbed and mutually different
+    assert not np.allclose(np.asarray(members[1].tair), np.asarray(f0.tair))
+    assert not np.allclose(np.asarray(members[1].tair), np.asarray(members[2].tair))
+    # perturbation magnitudes sane: tair std ~ sqrt(9)=3 K
+    d = np.asarray(members[1].tair) - np.asarray(f0.tair)
+    assert 0.5 < d.std() < 6.0
+    # wind perturbed through the pressure flag
+    assert not np.allclose(np.asarray(members[1].wind_u), np.asarray(f0.wind_u))
+    # precip stays non-negative
+    assert float(np.asarray(members[1].precip).min()) >= 0.0
+
+
+def test_ensemble_ar1_correlation():
+    grid = Grid.square(nx=24, ny=24, dx=10e3)
+    cfg = Config(overrides={"statevector.ensemble_member": 1, "simul.timestep": 3600})
+    prov = EnsembleForcing(ConstantForcing(cfg, grid), grid, cfg)
+    f1 = prov(0.0, 0.0)
+    f2 = prov(1.0 / 24, 0.0)
+    d1 = np.asarray(f1.tair) - (-25.0)
+    d2 = np.asarray(f2.tair) - (-25.0)
+    # one hour apart with tcorr=2 days: highly correlated
+    c = np.corrcoef(d1.ravel(), d2.ravel())[0, 1]
+    assert c > 0.9
+
+
+# ---------------------------------------------------------------------------
+# nesting
+# ---------------------------------------------------------------------------
+
+
+def test_nesting_distance_and_weights():
+    g = Grid.square(nx=32, ny=32, dx=10e3, boundary="open")
+    dist = nesting.distance_to_open_boundary(g)
+    assert dist[1, 5] == 0.0  # open ring
+    assert dist[16, 16] > 10.0
+    p = nesting.NestingParams(lengthscale=5.0, timescale_days=0.5)
+    w = nesting.nudge_weight(dist, p, dt=300.0)
+    assert w[1, 5] > w[8, 8] > w[16, 16]
+    assert (w >= 0).all() and (w <= 1).all()
+
+
+def test_nesting_relaxes_toward_outer():
+    g = Grid.square(nx=16, ny=16, dx=10e3, boundary="open")
+    from nextsim_tpu.core.state import State
+
+    s = State.zeros(g)
+    s = s.replace(conc=jnp.zeros(g.shape))
+    outer = {"conc": jnp.ones(g.shape)}
+    p = nesting.NestingParams(lengthscale=3.0, timescale_days=0.01)
+    dist = nesting.distance_to_open_boundary(g)
+    w = jnp.asarray(nesting.nudge_weight(dist, p, dt=3000.0))
+    s2 = nesting.apply_nesting(s, outer, w, p)
+    c = np.asarray(s2.conc)
+    assert c[1, 8] > 0.5  # near-boundary strongly relaxed
+    assert c[8, 8] < c[2, 8]  # decays inward
+
+
+# ---------------------------------------------------------------------------
+# coupling
+# ---------------------------------------------------------------------------
+
+
+def test_coupler_put_get_roundtrip(tmp_path):
+    g = Grid.square(nx=16, ny=16, dx=10e3)
+    cfg = Config(overrides={
+        "coupler.timestep": 600,
+        "simul.timestep": 300,
+        "output.exporter_path": str(tmp_path),
+    })
+    cpl = Coupler(cfg, g, time_init=0.0, directory=str(tmp_path))
+
+    from nextsim_tpu.core.state import State
+
+    s = State.zeros(g).replace(conc=jnp.ones(g.shape) * 0.8)
+    diag = {
+        "tau_wx": jnp.ones(g.node_shape) * 0.1,
+        "tau_wy": jnp.zeros(g.node_shape),
+        "qnosun": jnp.ones(g.shape) * -50.0,
+        "qsw_ocean": jnp.ones(g.shape) * 20.0,
+        "dels": jnp.zeros(g.shape),
+        "fwflux": jnp.zeros(g.shape),
+    }
+    cpl.accumulate(s, diag)
+    assert not cpl.maybe_exchange(300.0 / 86400.0)  # window not closed
+    cpl.accumulate(s, diag)
+    # provide a prescribed input file for the get leg
+    from scipy.io import netcdf_file
+
+    with netcdf_file(os.path.join(tmp_path, "cpl_in.nc"), "w", version=2) as nc:
+        nc.createDimension("y", 16)
+        nc.createDimension("x", 16)
+        v = nc.createVariable("sst", "f4", ("y", "x"))
+        v[:] = np.full((16, 16), 2.5, np.float32)
+    assert cpl.maybe_exchange(600.0 / 86400.0)
+    outs = [f for f in os.listdir(tmp_path) if f.startswith("cpl_out_")]
+    assert len(outs) == 1
+    with netcdf_file(os.path.join(tmp_path, outs[0]), "r") as nc:
+        np.testing.assert_allclose(nc.variables["conc"][:], 0.8, rtol=1e-6)
+        assert nc.variables["taux"][:].shape == (16, 16)
+
+    # received field overrides forcing
+    prov = ConstantForcing(Config(), g)
+    f = prov(0.0, 0.0)
+    f2 = cpl.apply_received(f)
+    np.testing.assert_allclose(np.asarray(f2.ocean_temp), 2.5, rtol=1e-6)
+
+
+def test_coupled_simulator_runs(tmp_path):
+    cfg = Config(overrides={
+        "grid.nx": 16, "grid.ny": 16, "grid.resolution": 10e3,
+        "simul.timestep": 200, "dynamics.substeps": 60,
+        "setup.ocean-type": "coupled",
+        "setup.atmosphere-type": "constant",
+        "setup.ice-type": "constant",
+        "thermo.use_thermo_forcing": False,
+        "dynamics.use_coriolis": False,
+        "coupler.timestep": 400,
+        "output.exporter_path": str(tmp_path),
+        "simul.spinup_duration": 0.0,
+        "ideal_simul.constant_wind_u": 10.0,
+    })
+    sim = Simulator(cfg)
+    for _ in range(4):
+        sim.step()
+    outs = [f for f in os.listdir(os.path.join(tmp_path, "coupler")) if f.startswith("cpl_out_")]
+    assert len(outs) == 2  # every 2 steps
