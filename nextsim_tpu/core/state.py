@@ -67,6 +67,9 @@ class State:
     vt_v: Any  # ice velocity y [m/s]
     ut_u: Any  # time-integrated velocity x [m] (drifter/diag parity with M_UT)
     ut_v: Any
+    # --- optional FSD bins (None unless wave_coupling.num_fsd_bins > 0) ---
+    conc_fsd: Any = None  # (nbins, ny, nx) area-based FSD
+    conc_mech_fsd: Any = None  # mechanical FSD (distinguish_mech_fsd)
 
     @staticmethod
     def zeros(grid, dtype=jnp.float32, cfg=None) -> "State":

@@ -73,6 +73,23 @@ class Simulator:
 
         # --- state + forcing ----------------------------------------------
         self.state = init_state.init_state(cfg, self.grid, dtype=self.dtype)
+
+        # FSD (reference: initFsd fe.cpp:7399-7585; OASIS-gated there,
+        # enabled here whenever wave_coupling.num_fsd_bins > 0)
+        self.fsd_params = None
+        self.fsd_bins = None
+        if cfg["wave_coupling.num_fsd_bins"] > 0:
+            from nextsim_tpu.ops import fsd as fsd_ops
+
+            self.fsd_params = fsd_ops.FSDParams.from_config(cfg)
+            self.fsd_bins = fsd_ops.make_bins(self.fsd_params)
+            ctot0 = self.state.conc + self.state.conc_young
+            cf = fsd_ops.init_fsd(self.fsd_params, ctot0)
+            self.state = self.state.replace(
+                conc_fsd=cf,
+                # distinct buffer: aliasing would break argument donation
+                conc_mech_fsd=(cf + 0.0) if self.fsd_params.distinguish_mech_fsd else None,
+            )
         self.forcing_provider = make_provider(cfg, self.grid, self.dtype)
         # ensemble member > 0: perturbed forcing (reference: #ifdef ENSEMBLE,
         # externaldata.cpp:244-278; modules/enkf/perturbation)
@@ -181,6 +198,35 @@ class Simulator:
                     tinfo=tinfo,
                 )
                 diag.update(tdiag)
+
+            # ---- FSD: welding on freezing + rescale to new conc; breakup
+            # under waves (reference: weldingRoach in thermo fe.cpp:5782-5797;
+            # redistributeFSD at coupling steps; updateFSD from step())
+            if self.fsd_params is not None:
+                from nextsim_tpu.ops import fsd as fsd_ops
+
+                fp, fb = self.fsd_params, self.fsd_bins
+                ctot = state.conc + state.conc_young
+                cf = fsd_ops.update_fsd(state.conc_fsd, ctot)
+                if use_thermo and fp.welding_type == "roach":
+                    freezing = diag.get("del_hi", jnp.zeros_like(ctot)) > 0.0
+                    cf = fsd_ops.welding_roach(cf, dt, fp, fb, freezing)
+                    cf = fsd_ops.update_fsd(cf, ctot)
+                damage = state.damage
+                if forcing.wlbk is not None:
+                    cf, broke = fsd_ops.wave_breakup(
+                        cf, state.thick, state.conc, state.h_young,
+                        state.conc_young, forcing.wlbk, dt, fp, fb,
+                    )
+                    damage = fsd_ops.fsd_damage(cf, damage, fp, broke)
+                mech = state.conc_mech_fsd
+                if mech is not None:
+                    mech = fsd_ops.update_fsd(mech, ctot)
+                    if forcing.wlbk is not None:
+                        # after breakup both coincide (fe.cpp:4424); distinct
+                        # buffer to keep donation legal next step
+                        mech = cf + 0.0
+                state = state.replace(conc_fsd=cf, conc_mech_fsd=mech, damage=damage)
 
             # ---- dynamics (reference: fe.cpp:8197-8221) ------------------
             if dynamics_type in ("bbm", "evp", "mevp"):

@@ -220,7 +220,22 @@ def transport_and_ridge(state, grid_arrays, dt: float, p: TransportParams):
         conc_myi = jnp.clip(conc_myi, 0.0, conc)
     del_ci_ridge_myi = (del_ci_ridge_myi + conc_myi) * phys.days_in_sec / dt
 
+    # FSD bins: conservative transport then shape-preserving rescale to the
+    # new total concentration (reference: conc_fsd scaling in update(),
+    # fe.cpp:3991-3993, + updateFSD called from step())
+    fsd_updates = {}
+    if state.conc_fsd is not None:
+        from nextsim_tpu.ops import fsd as fsd_ops
+
+        ctot_new = conc + (conc_young if p.use_young_ice else 0.0)
+        adv_fsd = jnp.stack([cons(state.conc_fsd[k]) for k in range(state.conc_fsd.shape[0])])
+        fsd_updates["conc_fsd"] = fsd_ops.update_fsd(adv_fsd, ctot_new)
+        if state.conc_mech_fsd is not None:
+            adv_m = jnp.stack([cons(state.conc_mech_fsd[k]) for k in range(state.conc_mech_fsd.shape[0])])
+            fsd_updates["conc_mech_fsd"] = fsd_ops.update_fsd(adv_m, ctot_new)
+
     state = state.replace(
+        **fsd_updates,
         conc=conc,
         thick=thick,
         snow_thick=snow,
