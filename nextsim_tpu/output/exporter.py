@@ -26,7 +26,10 @@ def state_to_arrays(state) -> dict:
     import dataclasses
 
     for f in dataclasses.fields(state):
-        out[f.name] = np.asarray(getattr(state, f.name))
+        v = getattr(state, f.name)
+        if v is None:  # optional leaves (e.g. FSD when disabled)
+            continue
+        out[f.name] = np.asarray(v)
     return out
 
 

@@ -38,7 +38,10 @@ def write_restart(sim, name: Optional[str] = None) -> str:
             name = str(sim.pcpt)
     arrays = {}
     for f in dataclasses.fields(sim.state):
-        arrays[f.name] = np.asarray(getattr(sim.state, f.name))
+        v = getattr(sim.state, f.name)
+        if v is None:  # optional leaves (e.g. FSD when disabled)
+            continue
+        arrays[f.name] = np.asarray(v)
     meta = {
         "pcpt": sim.pcpt,
         "time_init": sim.time_init,
@@ -75,7 +78,10 @@ def read_restart(sim, basename: Optional[str] = None) -> None:
             )
         kw = {}
         for f in dataclasses.fields(sim.state):
-            kw[f.name] = jnp.asarray(data[f.name], sim.dtype)
+            if f.name in data:
+                kw[f.name] = jnp.asarray(data[f.name], sim.dtype)
+            else:
+                kw[f.name] = None
         sim.state = State(**kw)
         drifters = getattr(sim, "drifters", None)
         if drifters:
