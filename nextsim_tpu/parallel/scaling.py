@@ -1,0 +1,84 @@
+"""Weak/strong scaling harness.
+
+Measures full-model-step throughput across device-mesh sizes — the
+north-star ">80% weak scaling on a v5p-16" measurement (BASELINE.md). On a
+single-chip or CPU-mesh host it still runs (validating the sharded step and
+producing correctness-grade numbers); real efficiency numbers come from the
+same entry point on a pod slice.
+
+Usage:  python -m nextsim_tpu.parallel.scaling [cells_per_device_side]
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import List
+
+import jax
+import numpy as np
+
+
+def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 120) -> List[dict]:
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+    from nextsim_tpu.parallel.sharding import make_device_mesh, shard_tree
+
+    results = []
+    n_total = len(jax.devices())
+    sizes = []
+    n = 1
+    while n <= n_total:
+        sizes.append(n)
+        n *= 2
+    if sizes[-1] != n_total:
+        sizes.append(n_total)
+
+    base_rate = None
+    for nd in sizes:
+        mesh = make_device_mesh(devices=jax.devices()[:nd])
+        dpy, dpx = mesh.devices.shape
+        ny = cells_per_device_side * dpy
+        nx = cells_per_device_side * dpx
+        cfg = Config(overrides={
+            "grid.preset": "arctic", "grid.nx": nx, "grid.ny": ny,
+            "grid.resolution": 10e3,
+            "simul.timestep": 200, "simul.time_init": "2015-10-16 00:00:00",
+            "dynamics.substeps": substeps,
+            "thermo.use_thermo_forcing": False,
+            "setup.ice-type": "constant", "setup.atmosphere-type": "constant",
+            "setup.ocean-type": "constant",
+            "ideal_simul.constant_wind_u": 10.0,
+            "tpu.donate_state": False,
+        })
+        sim = Simulator(cfg, mesh=mesh)
+        forcing = shard_tree(sim.forcing_provider(sim.current_time, sim.time_init), mesh)
+        tinfo = sim.time_info()
+        state, diag, viol = sim._step_fn(sim.state, forcing, tinfo)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, diag, viol = sim._step_fn(state, forcing, tinfo)
+        jax.block_until_ready(state)
+        dt_wall = time.perf_counter() - t0
+        rate = nx * ny * substeps * steps / dt_wall  # cell-substeps/s total
+        per_dev = rate / nd
+        if base_rate is None:
+            base_rate = per_dev
+        results.append({
+            "devices": nd,
+            "mesh": list(mesh.devices.shape),
+            "grid": f"{nx}x{ny}",
+            "cell_substeps_per_s": round(rate, 1),
+            "per_device": round(per_dev, 1),
+            "weak_scaling_efficiency": round(per_dev / base_rate, 4),
+        })
+        print(json.dumps(results[-1]))
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 304
+    measure(side)
