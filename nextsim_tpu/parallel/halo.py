@@ -90,5 +90,4 @@ def sharded_stencil_apply(fn, global_x: jnp.ndarray, mesh, halo: int = 1):
 
     return shard_map(
         local_fn, mesh=mesh, in_specs=P("y", "x"), out_specs=P("y", "x"),
-        check_rep=False,
     )(global_x)
