@@ -73,3 +73,29 @@ def field_stats(state) -> Dict[str, Tuple[float, float]]:
     speed = np.hypot(np.asarray(state.vt_u), np.asarray(state.vt_v))
     out["speed"] = (float(np.nanmin(speed)), float(np.nanmax(speed)))
     return out
+
+
+def check_velocity_fields(state, node_mask, spd_lim: float = 0.5):
+    """Statistical velocity-outlier detection (reference: checkVelocityFields,
+    fe.cpp:14487-14530): for nodes faster than spd_lim, compute the relative
+    error of the node velocity vs. the mean/std of its 4 neighbours and
+    return (count, max_rel_err) as device scalars. Vectorised replacement of
+    the reference's Welford loop."""
+    from nextsim_tpu.ops import stencil
+
+    u, v = state.vt_u, state.vt_v
+    spd = jnp.hypot(u, v)
+    fast = (spd > spd_lim) & (node_mask > 0.5)
+
+    def stats(x):
+        mean = stencil.neighbor_mean_nodes(x, node_mask)
+        mean2 = stencil.neighbor_mean_nodes(x * x, node_mask)
+        var = jnp.maximum(mean2 - mean * mean, 1e-12)
+        return mean, jnp.sqrt(var)
+
+    mu_u, sd_u = stats(u)
+    mu_v, sd_v = stats(v)
+    rel = jnp.hypot((mu_u - u) / sd_u, (mu_v - v) / sd_v)
+    rel = jnp.where(fast, rel, 0.0)
+    rogue = rel > 4.0
+    return rogue.sum(), rel.max()

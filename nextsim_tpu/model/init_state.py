@@ -59,9 +59,26 @@ def _init_ice(cfg, grid, state, mask) -> State:
     ice_type = cfg["setup.ice-type"]
     if ice_type in ("constant", "constant_partial"):
         return _constant_ice(cfg, grid, state, mask, partial=ice_type == "constant_partial")
+
+    # dataset-backed schemes (reference: initIce dispatch, fe.cpp:11396-11515)
+    from nextsim_tpu.model.init_ice_datasets import topaz_like_ice
+    from nextsim_tpu.utils import dates as _dates
+
+    time_init_str = cfg["simul.time_init"]
+    t0 = _dates.string_to_datenum(time_init_str) if time_init_str else 0.0
+    topaz_family = {
+        "topaz4": "topaz", "topaz4r": "topaz", "topaz": "topaz",
+        "topaz4-nrt": "topaz", "topaz5-nrt": "topaz",
+        "topaz-forecast": "topaz",
+    }
+    if ice_type in topaz_family:
+        return topaz_like_ice(cfg, grid, state, mask, topaz_family[ice_type], t0)
+    if ice_type == "glorys12":
+        return topaz_like_ice(cfg, grid, state, mask, "glorys12", t0)
     raise NotImplementedError(
-        f"ice init scheme {ice_type!r} requires dataset support (see "
-        "nextsim_tpu/model/init_ice_datasets.py)"
+        f"ice init scheme {ice_type!r}: obs-product blend schemes "
+        "(amsr2/osisaf/cs2_smos/nic/...) need their dataset descriptors "
+        "registered in nextsim_tpu/forcing/datasets.py"
     )
 
 

@@ -331,7 +331,30 @@ class Simulator:
                 msgs = checks.describe(flags, self.dyn.use_young_ice)
                 self._crash_dump(msgs)
             self.timer.tock("checks")
+        if self.cfg["debugging.check_velocity_fields"]:
+            n_rogue, max_rel = checks.check_velocity_fields(
+                self.state, self.grid_arrays["node_mask"]
+            )
+            if int(n_rogue) > 0:
+                self.log.debug(
+                    f"Rogue velocity step={self.pcpt}: {int(n_rogue)} nodes, "
+                    f"max rel_error={float(max_rel):.2f}"
+                )
         self.timer.tock("step")
+
+    def assimilate(self, obs_conc) -> None:
+        """Assimilate an observed concentration analysis into the state
+        (reference: DataAssimilation/assimilateIce, fe.cpp:509-525,
+        11634-11662): replace conc, track conc_upd, re-check consistency."""
+        from nextsim_tpu.model.init_ice_datasets import assimilate_conc
+
+        self.state = assimilate_conc(
+            self.state, obs_conc, self.grid_arrays["mask"],
+            min_h=self.cfg["dynamics.min_h"],
+        )
+        self.state = init_state.check_consistency(
+            self.cfg, self.state, self.grid_arrays["mask"]
+        )
 
     def _check_outputs(self) -> None:
         """Per-step output handling (reference: checkOutputs, fe.cpp:
