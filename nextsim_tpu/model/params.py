@@ -78,6 +78,7 @@ def dyn_params(cfg, dx: float) -> DynParams:
         mevp_beta=cfg["dynamics.mevp.beta"],
         nit_ow=cfg["numerics.nit_ow"],
         use_young_ice=cfg["thermo.newice_type"] == 4,
+        use_pallas=cfg["tpu.use_pallas"],
         bbm=bbm,
         evp=evp,
     )

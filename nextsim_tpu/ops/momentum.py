@@ -53,6 +53,7 @@ class DynParams:
     mevp_beta: float = 500.0
     nit_ow: int = 50  # numerics.nit_ow open-water smoother sweeps
     use_young_ice: bool = True  # thermo.newice_type == 4
+    use_pallas: bool = False  # fused VMEM-resident substep kernel (tpu.use_pallas)
     bbm: BBMParams = BBMParams()
     evp: EVPParams = EVPParams()
 
@@ -186,6 +187,18 @@ def explicit_solve(
 
     dyn_type = p.dynamics_type
 
+    # loop-invariant BBM transcendentals hoisted out of the substep loop
+    if dyn_type == "bbm":
+        from nextsim_tpu.ops.rheology import _fast_pow
+
+        bbm_expC = jnp.exp(p.bbm.compaction_param * (1.0 - state.conc))
+        bbm_pmax = (
+            _fast_pow(state.thick, p.bbm.exponent_compression_factor)
+            * p.bbm.compression_factor * bbm_expC
+        )
+    else:
+        bbm_expC = bbm_pmax = None
+
     def substep(s, carry):
         vt_u, vt_v, ut_u, ut_v, sigma, damage = carry
 
@@ -196,6 +209,7 @@ def explicit_solve(
                 sigma, damage, state.conc, state.thick,
                 grid_arrays["cohesion"], state.time_relaxation_damage,
                 eps11, eps22, eps12, dx, dte, p.bbm,
+                expC=bbm_expC, Pmax=bbm_pmax,
             )
         elif dyn_type == "evp":
             sigma = rheology.evp_update(
@@ -228,12 +242,10 @@ def explicit_solve(
         dte_over_mass = dtep / jnp.maximum(min_m, node_mass)
         uice, vice = vt_u, vt_v
 
-        c_prime = (
-            phys.rhow
-            * p.quad_drag_coef_water
-            * jnp.hypot(forcing.ocean_u - uice, forcing.ocean_v - vice)
-        )
-        tau_b = c_bu / (jnp.hypot(uice, vice) + p.u0)
+        du = forcing.ocean_u - uice
+        dv = forcing.ocean_v - vice
+        c_prime = phys.rhow * p.quad_drag_coef_water * jnp.sqrt(du * du + dv * dv)
+        tau_b = c_bu / (jnp.sqrt(uice * uice + vice * vice) + p.u0)
         alpha = 1.0 + dte_over_mass * (c_prime * cos_ota + tau_b)
         beta = dtep * fcor + dte_over_mass * c_prime * sin_ota_signed
         rdenom = 1.0 / (alpha * alpha + beta * beta)
@@ -273,13 +285,39 @@ def explicit_solve(
 
         return (vt_u, vt_v, ut_u, ut_v, sigma, damage)
 
-    carry = (vt_u, vt_v, state.ut_u, state.ut_v, state.sigma, state.damage)
-    carry = lax.fori_loop(0, steps, substep, carry)
-    vt_u, vt_v, ut_u, ut_v, sigma, damage = carry
+    use_pallas = p.use_pallas
+    if use_pallas:
+        from nextsim_tpu.ops import momentum_pallas
 
-    if dyn_type == "mevp":
-        ut_u = ut_u + dt * vt_u
-        ut_v = ut_v + dt * vt_v
+        if not momentum_pallas.fits_vmem(*mask.shape):
+            use_pallas = False  # fall back to the XLA loop for big domains
+
+    if use_pallas:
+        from nextsim_tpu.ops import momentum_pallas
+
+        cell_inputs = (
+            state.conc, state.thick, grid_arrays["cohesion"],
+            state.time_relaxation_damage, mask,
+        )
+        node_inputs = (
+            node_mass, rlmass, c_bu, fcor, tau_ax, tau_ay,
+            forcing.ocean_u, forcing.ocean_v, grad_ssh_u, grad_ssh_v,
+            solve.astype(vt_u.dtype), sin_ota_signed,
+        )
+        vt_u, vt_v, sigma, damage, ut_du, ut_dv = momentum_pallas.substep_loop_pallas(
+            cell_inputs, node_inputs, vt_u, vt_v, state.sigma, state.damage,
+            steps, dte, dt, float(dx), dyn_type, p,
+        )
+        ut_u = state.ut_u + ut_du
+        ut_v = state.ut_v + ut_dv
+    else:
+        carry = (vt_u, vt_v, state.ut_u, state.ut_v, state.sigma, state.damage)
+        carry = lax.fori_loop(0, steps, substep, carry)
+        vt_u, vt_v, ut_u, ut_v, sigma, damage = carry
+
+        if dyn_type == "mevp":
+            ut_u = ut_u + dt * vt_u
+            ut_v = ut_v + dt * vt_v
 
     # =====================================================================
     # Open-water velocity smoother (reference: fe.cpp:10576-10611)

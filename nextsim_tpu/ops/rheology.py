@@ -24,6 +24,25 @@ import jax.numpy as jnp
 from nextsim_tpu.core import constants as phys
 
 
+def _fast_pow(x, e: float):
+    """x**e with small-integer / half-integer exponents strength-reduced to
+    multiplies and sqrts (generic pow is a many-cycle transcendental on the
+    VPU and sits on the substep critical path)."""
+    if e == int(e) and 0 <= int(e) <= 8:
+        n = int(e)
+        out = None
+        acc = x
+        while n:
+            if n & 1:
+                out = acc if out is None else out * acc
+            acc = acc * acc
+            n >>= 1
+        return out if out is not None else jnp.ones_like(x)
+    if (2.0 * e) == int(2.0 * e) and 0 < e < 8:  # half-integer, e.g. 1.5
+        return _fast_pow(x, e - 0.5) * jnp.sqrt(x)
+    return x**e
+
+
 @dataclasses.dataclass(frozen=True)
 class BBMParams:
     """BBM constants (reference: initOptAndParam, finiteelement.cpp:1047-1491)."""
@@ -60,9 +79,15 @@ def bbm_update(
     delta_x,  # scalar or (ny,nx): local mesh length scale [m]
     dt: float,
     p: BBMParams,
+    expC=None,  # optional precomputed exp(C*(1-conc)) — loop-invariant
+    Pmax=None,  # optional precomputed P*h^1.5*expC — loop-invariant
 ):
     """One BBM sub-step (reference: updateSigmaDamage, finiteelement.cpp:
-    4137-4260). Returns (sigma, damage)."""
+    4137-4260). Returns (sigma, damage).
+
+    ``conc`` and ``thick`` are frozen during the substep loop, so callers can
+    hoist ``expC`` and ``Pmax`` out of the loop (the exp/pow transcendentals
+    otherwise dominate the VPU critical path)."""
     sxx, syy, sxy = sigma[0], sigma[1], sigma[2]
 
     # no-ice cells: sigma=0, damage=0 (fe.cpp:4150-4159)
@@ -70,14 +95,16 @@ def bbm_update(
 
     # --- stress update (fe.cpp:4183-4210) ---------------------------------
     sigma_n = 0.5 * (sxx + syy)
-    expC = jnp.exp(p.compaction_param * (1.0 - conc))
+    if expC is None:
+        expC = jnp.exp(p.compaction_param * (1.0 - conc))
     dmg_el = (1.0 - damage) * expC
-    time_viscous = p.undamaged_time_relaxation_sigma * dmg_el ** (
-        p.exponent_relaxation_sigma - 1.0
+    time_viscous = p.undamaged_time_relaxation_sigma * _fast_pow(
+        dmg_el, p.exponent_relaxation_sigma - 1.0
     )
 
     # plastic failure tildeP (fe.cpp:4189-4197)
-    Pmax = thick ** p.exponent_compression_factor * p.compression_factor * expC
+    if Pmax is None:
+        Pmax = _fast_pow(thick, p.exponent_compression_factor) * p.compression_factor * expC
     tildeP = jnp.where(sigma_n < 0.0, jnp.minimum(1.0, -Pmax / jnp.minimum(sigma_n, -1e-30)), 0.0)
 
     multiplicator = jnp.minimum(
@@ -92,7 +119,8 @@ def bbm_update(
     sxy = (sxy + dt * elasticity * (d2 * eps12)) * multiplicator
 
     # --- damage criterion (fe.cpp:4216-4243) ------------------------------
-    sigma_s = jnp.hypot(0.5 * (sxx - syy), sxy)
+    half_diff = 0.5 * (sxx - syy)
+    sigma_s = jnp.sqrt(half_diff * half_diff + sxy * sxy)
     sigma_n = 0.5 * (sxx + syy)
 
     # Mohr-Coulomb + compressive failure (Plante & Tremblay form)
