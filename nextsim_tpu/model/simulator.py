@@ -372,6 +372,8 @@ class Simulator:
                 d.move(vt_u, vt_v, self.dt)
                 if conc is None:
                     conc = np.asarray(self.state.conc)
+                if hasattr(d, "update_transient"):
+                    d.update_transient(t, conc)
                 d.mask_by_conc(conc)
                 d.maybe_output(t)
         if self.export_interval_steps and self.pcpt % self.export_interval_steps == 0:

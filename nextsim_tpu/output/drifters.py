@@ -184,7 +184,9 @@ def _sample(grid, field: np.ndarray, xq, yq, cell: bool) -> np.ndarray:
 
 
 def instantiate_drifters(cfg, grid, conc, time_init: float) -> List[DrifterSet]:
-    """(reference: instantiateDrifters, fe.cpp:13565-13735)"""
+    """All five reference drifter flavours (reference: instantiateDrifters,
+    fe.cpp:13565-13735): equally-spaced, SIDFEx, IABP (transient), OSISAF
+    (62.5 km grid, optionally refined x9), RGPS (text file)."""
     out: List[DrifterSet] = []
     limit = cfg["drifters.concentration_limit"]
     if cfg["drifters.use_equally_spaced_drifters"]:
@@ -201,4 +203,96 @@ def instantiate_drifters(cfg, grid, conc, time_init: float) -> List[DrifterSet]:
                 cfg["drifters.sidfex_drifters_output_time_step"], time_init,
             )
         )
+    if cfg["drifters.use_iabp_drifters"]:
+        path = os.path.join(os.environ.get("NEXTSIM_DATA_DIR", "."), "IABP_buoys.txt")
+        if os.path.exists(path):
+            d = TransientDrifterSet(
+                "iabp", path, grid, limit,
+                cfg["drifters.iabp_drifters_output_time_step"], time_init,
+            )
+            d.update_transient(time_init, np.asarray(conc))
+            out.append(d)
+    if cfg["drifters.use_osisaf_drifters"]:
+        d = osisaf_drifters(
+            grid, conc, limit, time_init,
+            refined=cfg["drifters.use_refined_osisaf_grid"],
+        )
+        d.tag = "osisaf"
+        d.output_dt_days = cfg["drifters.osisaf_drifters_output_time_step"]
+        out.append(d)
+    if cfg["drifters.use_rgps_drifters"]:
+        path = os.path.join(os.environ.get("NEXTSIM_DATA_DIR", "."), "RGPS_buoys.txt")
+        if os.path.exists(path):
+            out.append(
+                DrifterSet.from_text_file(
+                    "rgps", path, grid, conc, limit,
+                    cfg["drifters.rgps_drifters_output_time_step"], time_init,
+                )
+            )
     return out
+
+
+class TransientDrifterSet(DrifterSet):
+    """IABP-style transient drifters (reference: drifters.cpp transient
+    logic, drifters.hpp:129-155): an input file of dated position reports
+    'year month day hour id lat lon'; buoys are added when they first
+    appear and removed when the input stops reporting them (or they leave
+    the ice)."""
+
+    def __init__(self, tag, path, grid, conc_limit, output_dt_days, time_init):
+        super().__init__(tag, np.zeros(0), np.zeros(0), np.zeros(0, np.int64),
+                         grid, conc_limit, output_dt_days, time_init)
+        self.reports = self._read_reports(path)  # time -> {id: (lat, lon)}
+        self._check_time = time_init
+
+    @staticmethod
+    def _read_reports(path):
+        reports = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 7 or not parts[0].isdigit():
+                    continue
+                y, mo, d, h = (int(p) for p in parts[:4])
+                bid = int(float(parts[4]))
+                lat, lon = float(parts[5]), float(parts[6])
+                import datetime as _dt
+
+                t = dates.datetime_to_datenum(_dt.datetime(y, mo, d, h))
+                reports.setdefault(round(t, 6), {})[bid] = (lat, lon)
+        return dict(sorted(reports.items()))
+
+    def update_transient(self, t: float, conc: np.ndarray):
+        """Add newly-reported buoys; drop buoys no longer reported
+        (reference: drifters.cpp:56-70 'ones which IABP doesn't report...')."""
+        times = [tt for tt in self.reports if tt <= t + 1e-6]
+        if not times:
+            return
+        current = self.reports[times[-1]]
+        live_ids = set(current.keys())
+        # drop unreported
+        keep = np.array([int(i) in live_ids for i in self.ids], bool)
+        self.x, self.y = self.x[keep], self.y[keep]
+        self.ids, self.alive = self.ids[keep], self.alive[keep]
+        # add new
+        known = set(int(i) for i in self.ids)
+        new = [(i, ll) for i, ll in current.items() if i not in known]
+        if new:
+            lats = np.array([ll[0] for _, ll in new])
+            lons = np.array([ll[1] for _, ll in new])
+            nx, ny_ = self.grid.projection.forward(lats, lons)
+            c = _sample(self.grid, conc, np.asarray(nx), np.asarray(ny_), cell=True)
+            self.x = np.concatenate([self.x, np.asarray(nx)])
+            self.y = np.concatenate([self.y, np.asarray(ny_)])
+            self.ids = np.concatenate([self.ids, np.array([i for i, _ in new])])
+            self.alive = np.concatenate([self.alive, c > self.conc_limit])
+
+
+def osisaf_drifters(grid, conc, conc_limit, time_init, refined: bool = False):
+    """OSISAF drift-product drifters (reference: drifters.hpp:38-43 +
+    instantiateDrifters fe.cpp:13565-13735): buoys on the OSISAF 62.5 km
+    polar-stereographic grid (optionally refined x9, i.e. 1/3 spacing in
+    each direction), re-seeded every 48 h in the reference's two staggered
+    pairs — here one set with a 2-day output period."""
+    spacing = 62.5e3 / (3.0 if refined else 1.0)
+    return DrifterSet.equally_spaced(grid, spacing, conc, conc_limit, 2.0, time_init)

@@ -134,3 +134,39 @@ def test_simulator_snapshot_export(tmp_path):
     files = [f for f in os.listdir(tmp_path) if f.startswith("field_")]
     assert any(f.endswith(".npz") for f in files)
     assert any(f.endswith(".json") for f in files)
+
+
+def test_transient_iabp_drifters(tmp_path):
+    from nextsim_tpu.output.drifters import TransientDrifterSet
+
+    g = Grid.square(nx=16, ny=16, dx=50e3, x0=-400e3, y0=-1600e3)
+    lat, lon = g.cell_latlon()
+    # two report times: buoy 1 at both, buoy 2 only at the first
+    path = tmp_path / "iabp.txt"
+    la, lo = lat[8, 8], lon[8, 8]
+    la2, lo2 = lat[8, 10], lon[8, 10]
+    path.write_text(
+        f"2015 10 16 0 1 {la} {lo}\n"
+        f"2015 10 16 0 2 {la2} {lo2}\n"
+        f"2015 10 17 0 1 {la} {lo}\n"
+    )
+    conc = np.ones(g.shape, np.float32)
+    t0 = 42291.0  # 2015-10-16
+    d = TransientDrifterSet("iabp", str(path), g, 0.15, 0.5, t0)
+    d.update_transient(t0, conc)
+    assert set(d.ids) == {1, 2}
+    # next day: buoy 2 no longer reported -> dropped
+    d.update_transient(t0 + 1.0, conc)
+    assert set(d.ids) == {1}
+
+
+def test_osisaf_drifters():
+    from nextsim_tpu.output.drifters import osisaf_drifters
+
+    g = Grid.square(nx=32, ny=32, dx=25e3)
+    conc = np.ones(g.shape, np.float32)
+    d = osisaf_drifters(g, conc, 0.15, 0.0)
+    n_coarse = len(d.x)
+    d9 = osisaf_drifters(g, conc, 0.15, 0.0, refined=True)
+    # refined x9 => ~9x the buoys
+    assert 5 * n_coarse < len(d9.x) < 13 * n_coarse
