@@ -195,7 +195,8 @@ class Simulator:
 
                 state, tdiag = thermo_ops.thermo_step(
                     state, forcing, ga, dt, cfg_params=self._thermo_params,
-                    tinfo=tinfo,
+                    tinfo=tinfo, fsd_params=self.fsd_params,
+                    fsd_bins=self.fsd_bins,
                 )
                 diag.update(tdiag)
 

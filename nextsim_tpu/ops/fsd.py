@@ -319,3 +319,99 @@ def dmax_dmean(conc_fsd, p: FSDParams, bins: FSDBins, threshold: float = 0.1):
     dmean = (frac * centre[:, None, None]).sum(axis=0)
     has = ctot > 0.0
     return jnp.where(has, dmax, 0.0), jnp.where(has, dmean, 0.0)
+
+
+def lateral_melt_type3(
+    conc_fsd, conc, conc_young, h_young, hi, hs, qow, tw_new, tfrw,
+    del_hi, dt: float, PhiM: float, h_young_min: float, p: FSDParams,
+    bins: FSDBins,
+):
+    """FSD-dependent lateral melt — thermo melt_type=3 (reference:
+    fe.cpp:5596-5649, Roach et al. 2018 / Horvat & Tziperman 2015).
+
+    Returns (del_c, del_c_young, qow, lat_melt_rate):
+    * unbroken cells (all area in the last bin) follow the melt_type=2
+      Mellor & Kantha form;
+    * broken cells melt laterally at W = -2*m1*(Tw-Tf)^m2 weighted by the
+      perimeter density of each floe-size bin.
+    """
+    qi = phys.Lf * phys.rhoi
+    qs = phys.Lf * phys.rhos
+    m1, m2 = 3.0e-6, 1.36  # MIZEX 84 fit (fe.cpp:5607-5610)
+
+    ctot = conc + conc_young
+    melting = (del_hi < 0.0) & (tw_new > tfrw) & (hi > 0.0) & (ctot > 1e-11)
+
+    h0 = jnp.where(
+        conc_young > 0.0,
+        h_young_min + 2.0 * (h_young - h_young_min * conc_young)
+        / jnp.maximum(conc_young, 1e-30),
+        0.0,
+    )
+
+    unbroken = jnp.abs(conc_fsd[-1] - ctot) < 1e-7
+
+    # --- unbroken: melt_type 2 behaviour (fe.cpp:5617-5626) ---------------
+    del_c2 = PhiM * (1.0 - ctot) * jnp.minimum(0.0, qow) * dt / jnp.maximum(
+        hi * qi + hs * qs, 1e-30
+    )
+    del_c2 = jnp.maximum(del_c2, -ctot)
+    qow_unbroken = qow * (1.0 - PhiM)
+
+    # --- broken: perimeter-weighted lateral melt (fe.cpp:5628-5641) -------
+    dT = jnp.maximum(tw_new - tfrw, 0.0)
+    lat_melt_rate = -2.0 * m1 * _fast_pow_arr(dT, m2)  # <0 [m/s]
+    cat0 = lat_melt_rate * conc_fsd[0] / bins.width[0] * dt
+    del_c3 = cat0
+    for j in range(p.num_bins - 1):
+        del_c3 = del_c3 + lat_melt_rate * (conc_fsd[j] * 2.0 / bins.centre[j]) * dt
+    qow_broken = qow - del_c3 * (hi * qi * conc + h0 * qi * conc_young) / (
+        dt * jnp.maximum(ctot, 1e-30)
+    )
+
+    del_c_melt = jnp.where(melting, jnp.where(unbroken, del_c2, del_c3), 0.0)
+    qow = jnp.where(melting, jnp.where(unbroken, qow_unbroken, qow_broken), qow)
+    lat_melt_rate = jnp.where(melting & (~unbroken), lat_melt_rate, 0.0)
+
+    del_c = (conc / jnp.maximum(ctot, 1e-30)) * del_c_melt
+    del_c_young = (conc_young / jnp.maximum(ctot, 1e-30)) * del_c_melt
+    return del_c, del_c_young, qow, lat_melt_rate
+
+
+def _fast_pow_arr(x, e: float):
+    """x**e for x>=0 via exp/log with the x==0 lane fixed to 0."""
+    safe = jnp.maximum(x, 1e-30)
+    return jnp.where(x > 0.0, jnp.exp(e * jnp.log(safe)), 0.0)
+
+
+def redistribute_thermo_fsd(conc_fsd, lat_melt_rate, dt: float, p: FSDParams, bins: FSDBins):
+    """FSD evolution under lateral melt/growth (reference:
+    redistributeThermoFSD, fe.cpp:4460-4560; Horvat & Tziperman 2015):
+    advection of the distribution in floe-size space plus the perimeter
+    area-loss term."""
+    n = p.num_bins
+    active = jnp.abs(lat_melt_rate) > 0.0
+
+    # number-density gradient d(c/width)/dr with no transfer from unbroken
+    fsd_dr = [jnp.zeros_like(conc_fsd[0])]
+    for m in range(1, n - 1):
+        fsd_dr.append(conc_fsd[m] / bins.width[m])
+    fsd_dr.append(jnp.zeros_like(conc_fsd[0]))
+    fsd_dr.append(jnp.zeros_like(conc_fsd[0]))  # index n
+
+    out = [conc_fsd[m] for m in range(n)]
+    for m in range(n - 1):
+        dfsd = fsd_dr[m + 1] - fsd_dr[m]
+        delta = dt * lat_melt_rate * (-dfsd + conc_fsd[m] * 2.0 / bins.centre[m])
+        out[m] = jnp.where(active, out[m] + delta, out[m])
+    # smallest bin loses area out of the distribution when melting
+    cat0 = lat_melt_rate * conc_fsd[0] / bins.width[0] * dt
+    out[0] = jnp.where(active & (lat_melt_rate < 0.0), out[0] + cat0, out[0])
+    # growth: flux into the unbroken bin
+    grow = bins.width[n - 1]
+    out[n - 1] = jnp.where(
+        active & (lat_melt_rate > 0.0),
+        out[n - 1] + conc_fsd[n - 1] / grow * dt * lat_melt_rate,
+        out[n - 1],
+    )
+    return jnp.stack([jnp.maximum(o, 0.0) for o in out])

@@ -671,7 +671,7 @@ def ice_ocean_heatflux(p: ThermoParams, state, forcing, mld, dt):
 # ---------------------------------------------------------------------------
 
 
-def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams, tinfo: Dict | None = None):
+def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams, tinfo: Dict | None = None, fsd_params=None, fsd_bins=None):
     """One full thermodynamics step. Returns (state, diag_dict).
 
     ``tinfo`` carries per-step scalar time flags (traced): is_day_start,
@@ -930,6 +930,7 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
 
     # --- melting: lateral melt by melt_type (fe.cpp:5560-5649)
     melting = del_hi < 0.0
+    lat_melt_rate = jnp.zeros_like(conc)
     if p.melt_type == 1:
         del_c_melt = jnp.where(
             conc < 1.0, del_hi * conc * p.PhiM / jnp.maximum(hi_old, 1e-30), 0.0
@@ -944,8 +945,21 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
         del_c = del_c + jnp.where(melting & has_hi, lat_melt, 0.0)
         qow = jnp.where(melting & has_hi, qow * (1.0 - p.PhiM), qow)
         del_c = jnp.where(melting & (~has_hi), -conc, del_c)
+    elif p.melt_type == 3:
+        # FSD-dependent lateral melt (fe.cpp:5596-5649; Roach et al. 2018)
+        if state.conc_fsd is None or fsd_params is None:
+            raise ValueError("melt_type=3 requires wave_coupling.num_fsd_bins > 0")
+        from nextsim_tpu.ops import fsd as fsd_ops
+
+        dcf, dcy, qow, lat_melt_rate = fsd_ops.lateral_melt_type3(
+            state.conc_fsd, conc, conc_young, h_young, hi, hs, qow,
+            tw_new, tfrw, del_hi, ddt, p.PhiM, p.h_young_min,
+            fsd_params, fsd_bins,
+        )
+        del_c = del_c + dcf
+        conc_young = jnp.clip(conc_young + dcy, 0.0, 1.0)
     else:
-        raise ValueError(f"melt_type {p.melt_type} (3 requires FSD)")
+        raise ValueError(f"melt_type {p.melt_type}")
 
     # =====================================================================
     # freeze-day / summer trackers (fe.cpp:5652-5697)
@@ -1006,6 +1020,17 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     hi = jnp.where(gone, 0.0, hi)
     hs = jnp.where(gone, 0.0, hs)
     ridge_ratio = jnp.where(gone, 0.0, state.ridge_ratio)
+
+    # FSD reshaping under lateral melt (fe.cpp:5770-5775 ->
+    # redistributeThermoFSD); shape closure happens in the step-level
+    # update_fsd rescale
+    conc_fsd_new = state.conc_fsd
+    if p.melt_type == 3 and state.conc_fsd is not None:
+        from nextsim_tpu.ops import fsd as fsd_ops
+
+        conc_fsd_new = fsd_ops.redistribute_thermo_fsd(
+            state.conc_fsd, lat_melt_rate, ddt, fsd_params, fsd_bins
+        )
 
     # 7) effective thickness (fe.cpp:5798-5800)
     thick = hi * conc
@@ -1203,6 +1228,7 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
         young_updates = {}
 
     state = state.replace(
+        conc_fsd=conc_fsd_new,
         conc=jnp.clip(conc, 0.0, 1.0) * mask,
         thick=jnp.maximum(thick, 0.0) * mask,
         snow_thick=jnp.maximum(snow_thick, 0.0) * mask,

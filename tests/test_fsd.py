@@ -124,3 +124,46 @@ def test_simulator_with_fsd_runs():
     cf = np.asarray(sim.state.conc_fsd)
     ctot = np.asarray(sim.state.conc + sim.state.conc_young)
     np.testing.assert_allclose(cf.sum(axis=0), ctot, atol=1e-5)
+
+
+def test_melt_type3_lateral_melt_in_thermo():
+    """Full thermo step with FSD lateral melt (melt_type=3): broken warm ice
+    loses concentration laterally; unbroken ice follows melt_type 2."""
+    from nextsim_tpu.forcing.providers import ConstantForcing
+    from nextsim_tpu.grid.grid import Grid
+    from nextsim_tpu.model import init_state
+    from nextsim_tpu.model.params_thermo import thermo_params
+    from nextsim_tpu.ops import thermo
+
+    cfg = Config(overrides={
+        "grid.nx": 8, "grid.ny": 8, "grid.resolution": 10e3,
+        "setup.atmosphere-type": "constant", "setup.ocean-type": "constant",
+        "setup.ice-type": "constant",
+        "thermo.use_thermo_forcing": True,
+        "thermo.melt_type": 3,
+        "wave_coupling.num_fsd_bins": 6,
+        # warm forcing to drive melt
+        "ideal_simul.constant_tair": 5.0,
+        "ideal_simul.constant_Qsw_in": 300.0,
+        "ideal_simul.constant_Qlw_in": 330.0,
+    })
+    grid = Grid.square(nx=8, ny=8, dx=10e3)
+    state = init_state.init_state(cfg, grid)
+    mask = jnp.asarray(grid.mask)
+    fp = fsd.FSDParams.from_config(cfg)
+    fb = fsd.make_bins(fp)
+    # warm ocean slightly above freezing, broken ice in small bins
+    ctot = mask * 0.9
+    cf = jnp.zeros((6, 8, 8)).at[0].set(0.45 * mask).at[2].set(0.45 * mask)
+    state = state.replace(
+        conc=ctot, thick=ctot * 1.0, sst=jnp.full(grid.shape, -1.0),
+        conc_fsd=cf,
+    )
+    forcing = ConstantForcing(cfg, grid)(0.0, 0.0)
+    ga = {"mask": mask, "open_mask": jnp.asarray(grid.open_mask), "delta_x": grid.dx}
+    p = thermo_params(cfg)
+    s2, diag = thermo.thermo_step(state, forcing, ga, 900.0, p, fsd_params=fp, fsd_bins=fb)
+    # conc dropped (lateral + vertical melt), everything finite + bounded
+    assert float(np.asarray(s2.conc)[4, 4]) < 0.9
+    assert np.isfinite(np.asarray(s2.conc_fsd)).all()
+    assert float(np.asarray(s2.conc_fsd).min()) >= 0.0
