@@ -173,26 +173,114 @@ _register(
     )
 )
 
-# TOPAZ4 reanalysis ocean (reference: dataset.cpp topaz4r: curvilinear grid,
-# daily means in monthly files TP4DAILY_*)
+# TOPAZ4 reanalysis ocean (reference: dataset.cpp:1916-2311 topaz4r —
+# curvilinear grid, monthly files %Y/topaz_rean_%Y%m.nc; the same files also
+# carry the ice fields siconc/sithick/sisnthick used by ice init)
 _register(
     DatasetSpec(
         name="topaz4r",
-        filename_mask="TP4DAILY_%Y%m_30m.nc",
+        filename_mask="%Y/topaz_rean_%Y%m.nc",
         frequency="monthly",
         grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
         variables=(
-            DataVar("u", "ocean_u"),
-            DataVar("v", "ocean_v"),
-            DataVar("ssh", "ssh"),
-            DataVar("temperature", "ocean_temp"),
-            DataVar("salinity", "ocean_salt"),
-            DataVar("mlp", "mld"),
+            DataVar("uo", "ocean_u"),
+            DataVar("vo", "ocean_v"),
+            DataVar("zos", "ssh"),
+            DataVar("thetao", "ocean_temp"),
+            DataVar("so", "ocean_salt"),
+            DataVar("mlotst", "mld"),
         ),
         vectors=(("ocean_u", "ocean_v"),),
         nodal_targets=("ocean_u", "ocean_v", "ssh"),
     )
 )
+
+# TOPAZ NRT forecast ocean (reference: dataset.cpp:4752-5432 topaz_nrt)
+_register(
+    DatasetSpec(
+        name="topaz4nrt",
+        filename_mask="topaz_nrt_%Y%m%d.nc",
+        frequency="daily",
+        grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+        variables=(
+            DataVar("uo", "ocean_u"),
+            DataVar("vo", "ocean_v"),
+            DataVar("zos", "ssh"),
+            DataVar("thetao", "ocean_temp"),
+            DataVar("so", "ocean_salt"),
+            DataVar("mlotst", "mld"),
+        ),
+        vectors=(("ocean_u", "ocean_v"),),
+        nodal_targets=("ocean_u", "ocean_v", "ssh"),
+    )
+)
+
+# --- observed ice products for ice init / assimilation (reference:
+# dataset.cpp ice_* descriptors; conc products are in percent -> a=0.01) ----
+
+_register(DatasetSpec(
+    name="ice_osisaf",
+    filename_mask="ice_conc_nh_polstere-100_multi_%Y%m%d1200.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="lat", lon_name="lon"),
+    variables=(DataVar("ice_conc", "obs_conc", a=0.01),),
+))
+_register(DatasetSpec(
+    name="ice_osisaf_type",
+    filename_mask="ice_type_nh_polstere-100_multi_%Y%m%d1200.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="lat", lon_name="lon"),
+    variables=(DataVar("ice_type", "obs_type"),),
+))
+_register(DatasetSpec(
+    name="ice_amsr2",
+    filename_mask="Arc_%Y%m%d_res3.125_pyres.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(DataVar("sea_ice_concentration", "obs_conc", a=0.01),),
+))
+_register(DatasetSpec(
+    name="ice_amsre",
+    filename_mask="asi-n6250-%Y%m%d-v5i.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(DataVar("sea_ice_concentration", "obs_conc", a=0.01),),
+))
+_register(DatasetSpec(
+    name="ice_smos",
+    filename_mask="SMOS_Icethickness_v3.1_north_%Y%m%d.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(DataVar("sea_ice_thickness", "obs_thick"),),
+))
+_register(DatasetSpec(
+    name="ice_cs2_smos",
+    filename_mask="cs2_smos_ice_thickness_%Y%m%d.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="lat", lon_name="lon"),
+    variables=(
+        DataVar("analysis_sea_ice_thickness", "obs_thick"),
+        DataVar("sea_ice_concentration", "obs_conc", a=0.01),
+    ),
+))
+_register(DatasetSpec(
+    name="ice_nic",
+    filename_mask="NIC_%Y%m%d_res3.125_pyres.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(DataVar("sea_ice_concentration", "obs_conc", a=0.01),),
+))
+_register(DatasetSpec(
+    name="ice_piomas",
+    filename_mask="PIOMAS_%Y.nc",
+    frequency="yearly",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(
+        DataVar("area", "obs_conc"),
+        DataVar("heff", "obs_thick"),
+        DataVar("snow", "obs_snow"),
+    ),
+))
 
 # GLORYS12 ocean (reference: dataset.cpp glorys12: regular lat/lon)
 _register(

@@ -91,10 +91,11 @@ def warren_snow(grid, time_init: float) -> np.ndarray:
 # dataset-backed schemes
 # ---------------------------------------------------------------------------
 
-#: ice products (reference: dataset.cpp ice_* descriptors)
+#: ice products (reference: dataset.cpp ice_* descriptors; TOPAZ ice fields
+#: ride in the same reanalysis/forecast files as the ocean fields)
 ICE_DATASETS = {
-    # TOPAZ4 reanalysis ice fields ride in the same TP4DAILY files
-    "topaz": dict(dataset="topaz4r", conc="fice", thick="hice", snow="hsnow"),
+    "topaz": dict(dataset="topaz4r", conc="siconc", thick="sithick", snow="sisnthick"),
+    "topaz_nrt": dict(dataset="topaz4nrt", conc="siconc", thick="sithick", snow="sisnthick"),
     "glorys12": dict(dataset="glorys12", conc="siconc", thick="sithick", snow=None),
 }
 
@@ -175,3 +176,145 @@ def assimilate_conc(state, obs_conc, mask, min_h: float = 0.05):
         snow_thick=jnp.maximum(snow, 0.0),
         conc_upd=state.conc_upd + upd,
     )
+
+
+def _read_obs(cfg, grid, dataset_name: str, t: float) -> Dict[str, np.ndarray]:
+    """Read one obs ice product through the dataset registry."""
+    import os
+
+    from nextsim_tpu.forcing.datasets import REGISTRY, _DatasetReader
+
+    dirname = cfg["setup.oceanic_forcing_input_path"] or os.environ.get(
+        "NEXTSIM_DATA_DIR", "."
+    )
+    reader = _DatasetReader(REGISTRY[dataset_name], grid, dirname)
+    return reader.fields_at(t)
+
+
+def topaz_amsr2_osisaf_ice(cfg, grid, state, mask, time_init: float, scheme: str = "topaz_nrt"):
+    """TOPAZ forecast background blended with OSISAF conc/type and AMSR2
+    conc (reference: topazForecastAmsr2OsisafIce, fe.cpp:12404-12600):
+
+    * conc: OSISAF where TOPAZ has ice, lowered to AMSR2 where AMSR2 < OSISAF
+    * thickness: TOPAZ absolute thickness scaled by the OSISAF ice-type
+      factor (FYI x1, MYI x1.5, mixed x1.25) and converted to effective
+    * ridge_ratio from the ice-type (0 / 0.3 / 0.9 / 0.6)
+    """
+    bg = _read_ice_fields(cfg, grid, scheme, time_init)
+    # obs are read half a day back, as the reference does (fe.cpp:12409-12412)
+    t_obs = time_init - 0.5
+    osisaf = _read_obs(cfg, grid, "ice_osisaf", t_obs)
+    osisaf_type = _read_obs(cfg, grid, "ice_osisaf_type", t_obs)
+    amsr2 = _read_obs(cfg, grid, "ice_amsr2", t_obs)
+
+    dtype = state.conc.dtype
+    hi = np.where(bg["thick"] > 1e-14, bg["thick"], 0.0)  # absolute
+    hs = np.where(bg.get("snow", np.zeros(grid.shape)) > 1e-14, bg.get("snow", 0.0), 0.0)
+    conc = np.minimum(1.0, bg["conc"])
+    conc = np.where(conc > 1e-14, conc, 0.0)
+    if "obs_conc" in osisaf:
+        conc = np.where(conc > 0.0, osisaf["obs_conc"], conc)
+    if "obs_conc" in amsr2:
+        conc = np.where(amsr2["obs_conc"] < conc, amsr2["obs_conc"], conc)
+
+    ice_type = osisaf_type.get("obs_type", np.full(grid.shape, 2.0))
+    ratio_fyi, ratio_myi = 0.3, 0.9
+    ratio_mixed = 0.5 * (ratio_fyi + ratio_myi)
+    tf_fyi, tf_myi = 1.0, 1.5
+    tf_mixed = 0.5 * (tf_fyi + tf_myi)
+    ridge = np.select(
+        [ice_type < 1.5, ice_type < 2.5, ice_type < 3.5],
+        [0.0, ratio_fyi, ratio_myi], default=ratio_mixed,
+    )
+    thickfac = np.select(
+        [ice_type < 1.5, ice_type < 2.5, ice_type < 3.5],
+        [tf_fyi, tf_fyi, tf_myi], default=tf_mixed,
+    )
+    has_ice = (hi > 0.0) & (conc > 0.2)
+    hi = np.where(has_ice, hi * thickfac, 0.0)
+    ridge = np.where(has_ice, ridge, 0.0)
+
+    gone = (conc < 0.01) | (hi < phys_hmin())
+    conc = np.where(gone, 0.0, conc)
+    hi = np.where(gone, 0.0, hi)
+    hs = np.where(gone, 0.0, hs)
+    ridge = np.where(gone, 0.0, ridge)
+
+    m = np.asarray(mask)
+    return state.replace(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(hi * conc * m, dtype),  # absolute -> effective
+        snow_thick=jnp.asarray(hs * conc * m, dtype),
+        ridge_ratio=jnp.asarray(ridge * m, dtype),
+        damage=jnp.zeros(grid.shape, dtype),
+    )
+
+
+def cs2_smos_ice(cfg, grid, state, mask, time_init: float):
+    """CS2-SMOS merged thickness analysis + its concentration (reference:
+    cs2SmosIce, fe.cpp:13100-13270): conc and absolute thickness from the
+    product, snow from the Warren climatology."""
+    obs = _read_obs(cfg, grid, "ice_cs2_smos", time_init)
+    dtype = state.conc.dtype
+    conc = np.clip(obs.get("obs_conc", np.zeros(grid.shape)), 0.0, 1.0)
+    hi = np.maximum(obs.get("obs_thick", np.zeros(grid.shape)), 0.0)
+    gone = (conc < 0.01) | (hi < phys_hmin())
+    conc = np.where(gone, 0.0, conc)
+    hi = np.where(gone, 0.0, hi)
+    snow = warren_snow(grid, time_init) * conc
+    m = np.asarray(mask)
+    return state.replace(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(hi * conc * m, dtype),
+        snow_thick=jnp.asarray(snow * m, dtype),
+        damage=jnp.zeros(grid.shape, dtype),
+        ridge_ratio=jnp.zeros(grid.shape, dtype),
+    )
+
+
+def obs_conc_ice(cfg, grid, state, mask, time_init: float, product: str,
+                 const_thick: Optional[float] = None):
+    """Concentration-only products (AMSR2/AMSRE/NIC): conc from the product,
+    thickness constant or from ideal_simul.init_thickness (reference:
+    AMSR2_CSTTHICK etc.)."""
+    obs = _read_obs(cfg, grid, product, time_init)
+    dtype = state.conc.dtype
+    conc = np.clip(obs.get("obs_conc", np.zeros(grid.shape)), 0.0, 1.0)
+    h = const_thick if const_thick is not None else cfg["ideal_simul.init_thickness"]
+    hi = np.where(conc > 0.01, h, 0.0)
+    snow = warren_snow(grid, time_init) * conc
+    m = np.asarray(mask)
+    return state.replace(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(hi * conc * m, dtype),
+        snow_thick=jnp.asarray(snow * m, dtype),
+        damage=jnp.zeros(grid.shape, dtype),
+        ridge_ratio=jnp.zeros(grid.shape, dtype),
+    )
+
+
+def piomas_ice(cfg, grid, state, mask, time_init: float):
+    """PIOMAS reanalysis conc/thickness/snow (reference: piomasIce)."""
+    obs = _read_obs(cfg, grid, "ice_piomas", time_init)
+    dtype = state.conc.dtype
+    conc = np.clip(obs.get("obs_conc", np.zeros(grid.shape)), 0.0, 1.0)
+    vol = np.maximum(obs.get("obs_thick", np.zeros(grid.shape)), 0.0)  # effective
+    snow = np.maximum(obs.get("obs_snow", np.zeros(grid.shape)), 0.0)
+    gone = conc < 0.01
+    conc = np.where(gone, 0.0, conc)
+    vol = np.where(gone, 0.0, vol)
+    snow = np.where(gone, 0.0, snow)
+    m = np.asarray(mask)
+    return state.replace(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(vol * m, dtype),
+        snow_thick=jnp.asarray(snow * m, dtype),
+        damage=jnp.zeros(grid.shape, dtype),
+        ridge_ratio=jnp.zeros(grid.shape, dtype),
+    )
+
+
+def phys_hmin() -> float:
+    from nextsim_tpu.core import constants as phys
+
+    return phys.hmin

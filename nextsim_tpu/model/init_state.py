@@ -60,25 +60,37 @@ def _init_ice(cfg, grid, state, mask) -> State:
     if ice_type in ("constant", "constant_partial"):
         return _constant_ice(cfg, grid, state, mask, partial=ice_type == "constant_partial")
 
-    # dataset-backed schemes (reference: initIce dispatch, fe.cpp:11396-11515)
-    from nextsim_tpu.model.init_ice_datasets import topaz_like_ice
+    # dataset-backed schemes (reference: initIce dispatch, fe.cpp:11396-11515;
+    # config names per the str2conc map, fe.cpp:1328-1347)
+    from nextsim_tpu.model import init_ice_datasets as iid
     from nextsim_tpu.utils import dates as _dates
 
     time_init_str = cfg["simul.time_init"]
     t0 = _dates.string_to_datenum(time_init_str) if time_init_str else 0.0
-    topaz_family = {
-        "topaz4": "topaz", "topaz4r": "topaz", "topaz": "topaz",
-        "topaz4-nrt": "topaz", "topaz5-nrt": "topaz",
-        "topaz-forecast": "topaz",
-    }
-    if ice_type in topaz_family:
-        return topaz_like_ice(cfg, grid, state, mask, topaz_family[ice_type], t0)
+
+    if ice_type in ("topaz4_rean", "topaz4", "topaz"):
+        return iid.topaz_like_ice(cfg, grid, state, mask, "topaz", t0)
+    if ice_type in ("topaz4_nrt", "topaz5_nrt"):
+        return iid.topaz_like_ice(cfg, grid, state, mask, "topaz_nrt", t0)
     if ice_type == "glorys12":
-        return topaz_like_ice(cfg, grid, state, mask, "glorys12", t0)
+        return iid.topaz_like_ice(cfg, grid, state, mask, "glorys12", t0)
+    if ice_type in (
+        "topaz4_nrt-amsr2", "topaz4_nrt-amsr2-osisaf",
+        "topaz4_nrt-amsr2-osisaf-nic", "topaz4_nrt-amsr2-osisaf-nic_weekly",
+    ):
+        return iid.topaz_amsr2_osisaf_ice(cfg, grid, state, mask, t0)
+    if ice_type in ("cs2-smos", "cs2-smos-amsr2"):
+        return iid.cs2_smos_ice(cfg, grid, state, mask, t0)
+    if ice_type in ("amsr2", "amsr2-cst_thick"):
+        return iid.obs_conc_ice(cfg, grid, state, mask, t0, "ice_amsr2")
+    if ice_type == "amsre":
+        return iid.obs_conc_ice(cfg, grid, state, mask, t0, "ice_amsre")
+    if ice_type == "piomas":
+        return iid.piomas_ice(cfg, grid, state, mask, t0)
     raise NotImplementedError(
-        f"ice init scheme {ice_type!r}: obs-product blend schemes "
-        "(amsr2/osisaf/cs2_smos/nic/...) need their dataset descriptors "
-        "registered in nextsim_tpu/forcing/datasets.py"
+        f"ice init scheme {ice_type!r}: remaining schemes (smos, nemo, cice, "
+        "icesat blends) need their blend functions added in "
+        "nextsim_tpu/model/init_ice_datasets.py"
     )
 
 

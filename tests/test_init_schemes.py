@@ -15,30 +15,40 @@ from nextsim_tpu.model.checks import check_velocity_fields
 from nextsim_tpu.core.state import State
 
 
-def write_topaz_like(tmp_path, year=2015, month=10):
-    """Synthetic TP4DAILY file: curvilinear grid with conc/thick/snow."""
+def _write_curvilinear_nc(path, variables, year=2015, month=10, day=15,
+                          lat_name="latitude", lon_name="longitude"):
+    """Synthetic curvilinear ice-product file with the given 2-D variables."""
     from scipy.io import netcdf_file
 
     nyg, nxg = 30, 30
-    # a curvilinear-ish lat/lon patch covering the Arctic test box
     lat2d = np.linspace(70.0, 88.0, nyg)[:, None] * np.ones((1, nxg))
     lon2d = np.ones((nyg, 1)) * np.linspace(-90.0, 30.0, nxg)[None, :]
     epoch = datetime.datetime(1900, 1, 1)
-    base_days = (datetime.datetime(year, month, 15) - epoch).days
+    base_days = (datetime.datetime(year, month, day) - epoch).days
     times = np.array([base_days, base_days + 1], np.float64)
-    with netcdf_file(os.path.join(tmp_path, f"TP4DAILY_{year}{month:02d}_30m.nc"), "w", version=2) as nc:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with netcdf_file(path, "w", version=2) as nc:
         nc.createDimension("time", 2)
         nc.createDimension("y", nyg)
         nc.createDimension("x", nxg)
         tv = nc.createVariable("time", "f8", ("time",))
         tv.units = b"days since 1900-01-01 00:00:00"
         tv[:] = times
-        for nm, arr in (("latitude", lat2d), ("longitude", lon2d)):
+        for nm, arr in ((lat_name, lat2d), (lon_name, lon2d)):
             v = nc.createVariable(nm, "f4", ("y", "x"))
             v[:] = arr
-        for nm, val in (("fice", 0.85), ("hice", 2.0), ("hsnow", 0.2)):
+        for nm, val in variables:
             v = nc.createVariable(nm, "f4", ("time", "y", "x"))
             v[:] = np.full((2, nyg, nxg), val, np.float32)
+
+
+def write_topaz_like(tmp_path, year=2015, month=10):
+    """Synthetic topaz_rean file (reference mask %Y/topaz_rean_%Y%m.nc)."""
+    _write_curvilinear_nc(
+        os.path.join(tmp_path, str(year), f"topaz_rean_{year}{month:02d}.nc"),
+        [("siconc", 0.85), ("sithick", 2.0), ("sisnthick", 0.2)],
+        year=year, month=month,
+    )
 
 
 def arctic_box():
@@ -49,7 +59,7 @@ def arctic_box():
 def test_topaz_ice_init(tmp_path):
     write_topaz_like(tmp_path)
     cfg = Config(overrides={
-        "setup.ice-type": "topaz4",
+        "setup.ice-type": "topaz4_rean",
         "setup.oceanic_forcing_input_path": str(tmp_path),
         "simul.time_init": "2015-10-15 12:00:00",
         "thermo.use_thermo_forcing": False,
@@ -71,12 +81,55 @@ def test_topaz_ice_init(tmp_path):
 
 def test_missing_data_raises(tmp_path):
     cfg = Config(overrides={
-        "setup.ice-type": "topaz4",
+        "setup.ice-type": "topaz4_rean",
         "setup.oceanic_forcing_input_path": str(tmp_path),  # empty dir
         "simul.time_init": "2015-10-15 00:00:00",
     })
     with pytest.raises(FileNotFoundError):
         init_state.init_state(cfg, arctic_box())
+
+
+def test_topaz_amsr2_osisaf_blend(tmp_path):
+    """The TOPAZ+AMSR2+OSISAF blend: OSISAF conc replaces TOPAZ conc where
+    ice, AMSR2 lowers it, MYI type scales the thickness x1.5 and sets
+    ridge_ratio=0.9 (fe.cpp:12404-12540)."""
+    write_topaz_like(tmp_path)
+    # obs read at time_init - 0.5 -> same day files
+    _write_curvilinear_nc(
+        os.path.join(tmp_path, "ice_conc_nh_polstere-100_multi_201510151200.nc"),
+        [("ice_conc", 90.0)], lat_name="lat", lon_name="lon",
+    )
+    _write_curvilinear_nc(
+        os.path.join(tmp_path, "ice_type_nh_polstere-100_multi_201510151200.nc"),
+        [("ice_type", 3.0)], lat_name="lat", lon_name="lon",  # MYI
+    )
+    _write_curvilinear_nc(
+        os.path.join(tmp_path, "Arc_20151015_res3.125_pyres.nc"),
+        [("sea_ice_concentration", 80.0)],
+    )
+    cfg = Config(overrides={
+        "setup.ice-type": "topaz4_nrt-amsr2-osisaf",
+        "setup.oceanic_forcing_input_path": str(tmp_path),
+        "simul.time_init": "2015-10-15 18:00:00",
+        "thermo.use_thermo_forcing": False,
+    })
+    # the nrt background needs topaz_nrt files; reuse the rean data under
+    # the nrt mask
+    import shutil
+
+    shutil.copy(
+        os.path.join(tmp_path, "2015", "topaz_rean_201510.nc"),
+        os.path.join(tmp_path, "topaz_nrt_20151015.nc"),
+    )
+    grid = arctic_box()
+    state = init_state.init_state(cfg, grid)
+    m = grid.mask > 0.5
+    conc = np.asarray(state.conc)[m]
+    # AMSR2 (0.8) < OSISAF (0.9) -> conc = 0.8
+    np.testing.assert_allclose(conc, 0.8, rtol=1e-5)
+    # MYI: hi = 2.0 * 1.5, effective = * conc
+    np.testing.assert_allclose(np.asarray(state.thick)[m], 3.0 * 0.8, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.ridge_ratio)[m], 0.9, rtol=1e-5)
 
 
 def test_warren_climatology_values():
