@@ -305,6 +305,7 @@ class Simulator:
         self.timer.tick("device_step")
         self.state, self.diag, viol = self._step_fn(self.state, forcing, tinfo)
         self.timer.tock("device_step")
+        self.last_forcing = forcing  # for output.save_forcing_fields
 
         if self.nesting is not None:
             from nextsim_tpu.ops.nesting import apply_nesting

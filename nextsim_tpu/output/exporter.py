@@ -34,7 +34,14 @@ def state_to_arrays(state) -> dict:
 
 
 def export_snapshot(sim, name: Optional[str] = None) -> str:
-    """Write one snapshot; returns the path."""
+    """Write one snapshot; returns the path.
+
+    Honors ``output.variables`` (reference export names, e.g. Concentration,
+    Thickness, M_VT — reference: options.cpp output.variables default list)
+    unless ``output.export_fields`` selection is disabled, and appends the
+    forcing planes when ``output.save_forcing_fields`` is set (reference:
+    exportResults' M_external_data_elements debug export, fe.cpp:14190-14230).
+    """
     cfg = sim.cfg
     path = cfg["output.exporter_path"]
     os.makedirs(path, exist_ok=True)
@@ -44,6 +51,29 @@ def export_snapshot(sim, name: Optional[str] = None) -> str:
         else:
             name = str(sim.pcpt)
     arrays = state_to_arrays(sim.state)
+
+    # variable selection by reference export name
+    selected = set(cfg["output.variables"])
+    if selected and selected != {"*"}:
+        export_to_field = {}
+        for fname, spec in SPECS.items():
+            export_to_field.setdefault(spec.export_name, []).append(fname)
+        # M_VT selects both velocity components; vt_u's export name is M_VT_x
+        keep = set()
+        for sel in selected:
+            for exp, fields in export_to_field.items():
+                if exp == sel or exp.startswith(sel + "_") or exp == "M_" + sel:
+                    keep.update(fields)
+        if keep:  # unknown-only selections fall back to everything
+            arrays = {k: v for k, v in arrays.items() if k in keep or k not in SPECS}
+
+    if cfg["output.save_forcing_fields"] and getattr(sim, "last_forcing", None) is not None:
+        import dataclasses as _dc
+
+        for f in _dc.fields(sim.last_forcing):
+            v = getattr(sim.last_forcing, f.name)
+            if v is not None:
+                arrays[f"forcing_{f.name}"] = np.asarray(v)
     fname = os.path.join(path, f"field_{name}.npz")
     np.savez_compressed(fname, **arrays)
     manifest = {

@@ -170,3 +170,20 @@ def test_osisaf_drifters():
     d9 = osisaf_drifters(g, conc, 0.15, 0.0, refined=True)
     # refined x9 => ~9x the buoys
     assert 5 * n_coarse < len(d9.x) < 13 * n_coarse
+
+
+def test_export_variable_selection_and_forcing(tmp_path):
+    cfg = toy_cfg(tmp_path, **{
+        "moorings.use_moorings": False,
+        "output.output_per_day": -1,
+        "output.save_forcing_fields": True,
+    })
+    cfg._values["output.variables"] = ["Concentration", "Thickness", "M_VT"]
+    sim = Simulator(cfg)
+    sim.step()
+    files = sorted(f for f in os.listdir(tmp_path) if f.endswith(".npz"))
+    d = np.load(os.path.join(tmp_path, files[0]))
+    assert "conc" in d.files and "thick" in d.files
+    assert "vt_u" in d.files and "vt_v" in d.files
+    assert "damage" not in d.files  # not selected
+    assert "forcing_wind_u" in d.files  # save_forcing_fields
