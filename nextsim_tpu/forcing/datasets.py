@@ -173,6 +173,30 @@ _register(
     )
 )
 
+# ECMWF NRT forecast atmosphere (reference: dataset.cpp:9087-9353
+# ecmwf_nrt_*: regular lat/lon, daily files)
+_register(
+    DatasetSpec(
+        name="ecmwf_nrt",
+        filename_mask="ecmwf_nrt_%Y%m%d.nc",
+        frequency="daily",
+        grid=GridSpec(kind="regular_latlon", lat_name="lat", lon_name="lon", cyclic_lon=True),
+        variables=(
+            DataVar("10U", "wind_u"),
+            DataVar("10V", "wind_v"),
+            DataVar("2T", "tair", b=-273.15),
+            DataVar("2D", "dair", b=-273.15),
+            DataVar("MSL", "mslp"),
+            DataVar("SSRD", "qsw_in", a=1.0 / 21600.0),  # J/m2 per 6h -> W/m2
+            DataVar("STRD", "qlw_in", a=1.0 / 21600.0),
+            DataVar("TCC", "tcc"),
+            DataVar("TP", "precip", a=1000.0 / 21600.0),  # m per 6h -> kg/m2/s
+        ),
+        vectors=(("wind_u", "wind_v"),),
+        nodal_targets=("wind_u", "wind_v"),
+    )
+)
+
 # TOPAZ4 reanalysis ocean (reference: dataset.cpp:1916-2311 topaz4r —
 # curvilinear grid, monthly files %Y/topaz_rean_%Y%m.nc; the same files also
 # carry the ice fields siconc/sithick/sisnthick used by ice init)
@@ -491,6 +515,8 @@ class DatasetForcing:
         atm_map = {
             "era5": "era5", "generic_ps": "generic_ps", "asr": "asr",
             "cfsr": "cfsr", "cfsr_hi": "cfsr",
+            "ecmwf_nrt": "ecmwf_nrt", "ecmwf_nrt_arome": "ecmwf_nrt",
+            "ecmwf_nrt_arome_ensemble": "ecmwf_nrt",
         }
         ocn_map = {
             "topaz4": "topaz4r", "topaz4-nrt": "topaz4r", "topaz5-nrt": "topaz4r",

@@ -127,27 +127,50 @@ class Moorings:
         self.spacing = cfg["moorings.spacing"] * 1e3  # km -> m
         self.time_init = time_init
 
-        # output grid: regular in the model projection covering the domain
-        # (reference: initRegularGrid, gridoutput.cpp:173-226)
-        nxo = max(1, int(round(grid.nx * grid.dx / self.spacing)))
-        nyo = max(1, int(round(grid.ny * grid.dx / self.spacing)))
-        self.out_shape = (nyo, nxo)
-        self.xo = grid.x0 + (np.arange(nxo) + 0.5) * self.spacing
-        self.yo = grid.y0 + (np.arange(nyo) + 0.5) * self.spacing
-        lat, lon = grid.projection.inverse(
-            np.broadcast_to(self.xo[None, :], self.out_shape),
-            np.broadcast_to(self.yo[:, None], self.out_shape),
-        )
-        self.lat, self.lon = np.asarray(lat), np.asarray(lon)
+        grid_type = cfg["moorings.grid_type"]
+        if grid_type == "from_file" and cfg["moorings.grid_file"]:
+            # arbitrary grid from a NetCDF with 2-D lat/lon (reference:
+            # initArbitraryGrid, gridoutput.cpp:226-330)
+            from nextsim_tpu.forcing.netcdf_io import NCFile
 
-        # precompute bilinear sampling weights model-cells -> output points
-        self._cell_interp = _BilinearSampler(
-            grid.x0 + 0.5 * grid.dx, grid.y0 + 0.5 * grid.dx, grid.dx,
-            grid.shape, self.xo, self.yo,
-        )
-        self._node_interp = _BilinearSampler(
-            grid.x0, grid.y0, grid.dx, grid.node_shape, self.xo, self.yo
-        )
+            with NCFile(cfg["moorings.grid_file"]) as nc:
+                lat = np.asarray(nc.variables[cfg["moorings.grid_latitude"]][:], np.float64)
+                lon = np.asarray(nc.variables[cfg["moorings.grid_longitude"]][:], np.float64)
+            if cfg["moorings.grid_transpose"]:
+                lat, lon = lat.T, lon.T
+            self.lat, self.lon = lat, lon
+            self.out_shape = lat.shape
+            xq, yq = grid.projection.forward(lat, lon)
+            self._cell_interp = _PointSampler(
+                grid.x0 + 0.5 * grid.dx, grid.y0 + 0.5 * grid.dx, grid.dx,
+                grid.shape, np.asarray(xq), np.asarray(yq),
+            )
+            self._node_interp = _PointSampler(
+                grid.x0, grid.y0, grid.dx, grid.node_shape,
+                np.asarray(xq), np.asarray(yq),
+            )
+        else:
+            # regular grid in the model projection covering the domain
+            # (reference: initRegularGrid, gridoutput.cpp:173-226)
+            nxo = max(1, int(round(grid.nx * grid.dx / self.spacing)))
+            nyo = max(1, int(round(grid.ny * grid.dx / self.spacing)))
+            self.out_shape = (nyo, nxo)
+            self.xo = grid.x0 + (np.arange(nxo) + 0.5) * self.spacing
+            self.yo = grid.y0 + (np.arange(nyo) + 0.5) * self.spacing
+            lat, lon = grid.projection.inverse(
+                np.broadcast_to(self.xo[None, :], self.out_shape),
+                np.broadcast_to(self.yo[:, None], self.out_shape),
+            )
+            self.lat, self.lon = np.asarray(lat), np.asarray(lon)
+
+            # precompute bilinear sampling weights model-cells -> output points
+            self._cell_interp = _BilinearSampler(
+                grid.x0 + 0.5 * grid.dx, grid.y0 + 0.5 * grid.dx, grid.dx,
+                grid.shape, self.xo, self.yo,
+            )
+            self._node_interp = _BilinearSampler(
+                grid.x0, grid.y0, grid.dx, grid.node_shape, self.xo, self.yo
+            )
         # land-sea mask on the output grid (reference: setLSM/applyLSM)
         self.lsm = (self._cell_interp(grid.mask) > 0.5).astype(np.float32)
 
@@ -295,4 +318,28 @@ class _BilinearSampler:
             + v01 * wx * (1 - wy)
             + v10 * (1 - wx) * wy
             + v11 * wx * wy
+        )
+
+
+class _PointSampler:
+    """Bilinear interpolation at arbitrary (2-D) target points."""
+
+    def __init__(self, x0, y0, dx, src_shape, xq2d, yq2d):
+        ny, nx = src_shape
+        fx = np.clip((np.asarray(xq2d) - x0) / dx, 0.0, nx - 1.0)
+        fy = np.clip((np.asarray(yq2d) - y0) / dx, 0.0, ny - 1.0)
+        self.i0 = np.floor(fx).astype(np.int32)
+        self.j0 = np.floor(fy).astype(np.int32)
+        self.i1 = np.minimum(self.i0 + 1, nx - 1)
+        self.j1 = np.minimum(self.j0 + 1, ny - 1)
+        self.wx = (fx - self.i0).astype(np.float32)
+        self.wy = (fy - self.j0).astype(np.float32)
+
+    def __call__(self, field: np.ndarray) -> np.ndarray:
+        f = np.asarray(field)
+        return (
+            f[self.j0, self.i0] * (1 - self.wx) * (1 - self.wy)
+            + f[self.j0, self.i1] * self.wx * (1 - self.wy)
+            + f[self.j1, self.i0] * (1 - self.wx) * self.wy
+            + f[self.j1, self.i1] * self.wx * self.wy
         )

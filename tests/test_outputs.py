@@ -187,3 +187,70 @@ def test_export_variable_selection_and_forcing(tmp_path):
     assert "vt_u" in d.files and "vt_v" in d.files
     assert "damage" not in d.files  # not selected
     assert "forcing_wind_u" in d.files  # save_forcing_fields
+
+
+def test_moorings_from_file_grid(tmp_path):
+    """moorings.grid_type=from_file: arbitrary NetCDF lat/lon target grid
+    (reference: initArbitraryGrid, gridoutput.cpp:226-330)."""
+    from scipy.io import netcdf_file
+
+    g = Grid.square(nx=32, ny=32, dx=10e3)
+    lat_c, lon_c = g.cell_latlon()
+    # target: a coarse patch of the model domain
+    with netcdf_file(os.path.join(tmp_path, "mgrid.nc"), "w", version=2) as nc:
+        nc.createDimension("y", 8)
+        nc.createDimension("x", 8)
+        v = nc.createVariable("latitude", "f4", ("y", "x"))
+        v[:] = lat_c[::4, ::4]
+        v = nc.createVariable("longitude", "f4", ("y", "x"))
+        v[:] = lon_c[::4, ::4]
+    cfg = toy_cfg(tmp_path, **{
+        "moorings.grid_type": "from_file",
+        "moorings.grid_file": os.path.join(tmp_path, "mgrid.nc"),
+    })
+    sim = Simulator(cfg)
+    for _ in range(2):
+        sim.step()
+    files = [f for f in os.listdir(tmp_path) if f.startswith("Moorings")]
+    assert files
+    from scipy.io import netcdf_file as ncf
+
+    with ncf(os.path.join(tmp_path, files[0]), "r") as nc:
+        assert nc.variables["sic"][:].shape[1:] == (8, 8)
+        assert np.nanmax(nc.variables["sic"][:]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_wave_coupling_drives_fsd_breakup(tmp_path):
+    """Coupled waves end-to-end: a prescribed cpl_in.nc provides the wave
+    breaking field (wlbk) + wave stress; the FSD breaks up and damage rises."""
+    from scipy.io import netcdf_file
+
+    cfg = toy_cfg(tmp_path, **{
+        "moorings.use_moorings": False,
+        "coupler.with_waves": True,
+        "coupler.timestep": 200,
+        "wave_coupling.num_fsd_bins": 6,
+        "wave_coupling.fsd_damage_type": 1,
+    })
+    sim = Simulator(cfg)
+    # prescribe wave input: 60 m breaking wavelength everywhere + wave stress
+    cdir = os.path.join(tmp_path, "coupler")
+    os.makedirs(cdir, exist_ok=True)
+    with netcdf_file(os.path.join(cdir, "cpl_in.nc"), "w", version=2) as nc:
+        nc.createDimension("y", 32)
+        nc.createDimension("x", 32)
+        v = nc.createVariable("wlbk", "f4", ("y", "x"))
+        v[:] = np.full((32, 32), 60.0, np.float32)
+        v = nc.createVariable("tauwix", "f4", ("y", "x"))
+        v[:] = np.full((32, 32), 0.05, np.float32)
+        v = nc.createVariable("tauwiy", "f4", ("y", "x"))
+        v[:] = np.zeros((32, 32), np.float32)
+    unbroken0 = float(np.asarray(sim.state.conc_fsd[-1]).max())
+    sim.step()  # puts + reads cpl_in at the first exchange
+    sim.step()  # wave fields now active in forcing
+    sim.step()
+    cf = np.asarray(sim.state.conc_fsd)
+    assert cf[-1].max() < unbroken0  # unbroken pool reduced by breakup
+    assert cf[:-1].sum() > 0.0  # broken bins populated
+    # FSD-damage feedback engaged
+    assert float(np.asarray(sim.state.damage).max()) > 0.0
