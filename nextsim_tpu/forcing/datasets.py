@@ -295,6 +295,28 @@ _register(DatasetSpec(
     variables=(DataVar("sea_ice_concentration", "obs_conc", a=0.01),),
 ))
 _register(DatasetSpec(
+    name="ice_nemo",
+    filename_mask="NEMO_icemod.nc",
+    frequency="static",
+    grid=GridSpec(kind="curvilinear", lat_name="nav_lat", lon_name="nav_lon"),
+    variables=(
+        DataVar("frld", "obs_conc", a=-1.0, b=1.0),  # lead fraction -> conc
+        DataVar("hicif", "obs_thick"),
+        DataVar("hsnif", "obs_snow"),
+    ),
+))
+_register(DatasetSpec(
+    name="ice_cice",
+    filename_mask="CICE_%Y%m.nc",
+    frequency="monthly",
+    grid=GridSpec(kind="curvilinear", lat_name="lat", lon_name="lon"),
+    variables=(
+        DataVar("aice", "obs_conc"),
+        DataVar("hi", "obs_thick"),
+        DataVar("hs", "obs_snow"),
+    ),
+))
+_register(DatasetSpec(
     name="ice_piomas",
     filename_mask="PIOMAS_%Y.nc",
     frequency="yearly",

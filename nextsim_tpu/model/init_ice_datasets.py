@@ -318,3 +318,51 @@ def phys_hmin() -> float:
     from nextsim_tpu.core import constants as phys
 
     return phys.hmin
+
+
+def smos_ice(cfg, grid, state, mask, time_init: float):
+    """SMOS thin-ice init (reference: smosIce, fe.cpp:13326-13376): conc and
+    snow from the TOPAZ background, thickness directly from the SMOS
+    product."""
+    bg = _read_ice_fields(cfg, grid, "topaz", time_init)
+    obs = _read_obs(cfg, grid, "ice_smos", time_init)
+    dtype = state.conc.dtype
+    conc = np.minimum(1.0, bg["conc"])
+    conc = np.where(conc > 1e-14, conc, 0.0)
+    hi = np.maximum(obs.get("obs_thick", np.zeros(grid.shape)), 0.0)
+    snow = np.where(bg.get("snow", np.zeros(grid.shape)) > 1e-14, bg.get("snow", 0.0), 0.0)
+    empty = (conc <= 0.0) | (hi <= 0.0)
+    conc = np.where(empty, 0.0, conc)
+    hi = np.where(empty, 0.0, hi)
+    snow = np.where(empty, 0.0, snow)
+    m = np.asarray(mask)
+    return state.replace(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(hi * m, dtype),
+        snow_thick=jnp.asarray(snow * m, dtype),
+        damage=jnp.zeros(grid.shape, dtype),
+        ridge_ratio=jnp.zeros(grid.shape, dtype),
+    )
+
+
+def model_output_ice(cfg, grid, state, mask, time_init: float, product: str):
+    """NEMO / CICE model-output ice init (reference: nemoIce fe.cpp:12792,
+    ciceIce fe.cpp:12843): conc/effective thickness/snow straight from the
+    model file."""
+    obs = _read_obs(cfg, grid, product, time_init)
+    dtype = state.conc.dtype
+    conc = np.clip(obs.get("obs_conc", np.zeros(grid.shape)), 0.0, 1.0)
+    vol = np.maximum(obs.get("obs_thick", np.zeros(grid.shape)), 0.0)
+    snow = np.maximum(obs.get("obs_snow", np.zeros(grid.shape)), 0.0)
+    empty = (conc <= 0.0) | (vol <= 0.0)
+    conc = np.where(empty, 0.0, conc)
+    vol = np.where(empty, 0.0, vol)
+    snow = np.where(empty, 0.0, snow)
+    m = np.asarray(mask)
+    return state.replace(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(vol * m, dtype),
+        snow_thick=jnp.asarray(snow * m, dtype),
+        damage=jnp.zeros(grid.shape, dtype),
+        ridge_ratio=jnp.zeros(grid.shape, dtype),
+    )

@@ -87,9 +87,15 @@ def _init_ice(cfg, grid, state, mask) -> State:
         return iid.obs_conc_ice(cfg, grid, state, mask, t0, "ice_amsre")
     if ice_type == "piomas":
         return iid.piomas_ice(cfg, grid, state, mask, t0)
+    if ice_type == "smos":
+        return iid.smos_ice(cfg, grid, state, mask, t0)
+    if ice_type == "nemo":
+        return iid.model_output_ice(cfg, grid, state, mask, t0, "ice_nemo")
+    if ice_type == "cice":
+        return iid.model_output_ice(cfg, grid, state, mask, t0, "ice_cice")
     raise NotImplementedError(
-        f"ice init scheme {ice_type!r}: remaining schemes (smos, nemo, cice, "
-        "icesat blends) need their blend functions added in "
+        f"ice init scheme {ice_type!r}: the icesat blend "
+        "(topaz4_rean-osisaf-icesat) needs its blend function added in "
         "nextsim_tpu/model/init_ice_datasets.py"
     )
 
