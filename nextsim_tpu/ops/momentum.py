@@ -199,6 +199,11 @@ def explicit_solve(
     else:
         bbm_expC = bbm_pmax = None
 
+    # loop-invariant node coefficients (node_mass, fcor are fixed)
+    dtep_const = dte / (p.mevp_beta + 1.0) if dyn_type == "mevp" else dte
+    dte_over_mass_const = dtep_const / jnp.maximum(min_m, node_mass)
+    beta_cor_const = dtep_const * fcor
+
     def substep(s, carry):
         vt_u, vt_v, ut_u, ut_v, sigma, damage = carry
 
@@ -233,21 +238,19 @@ def explicit_solve(
             b_mevp = p.mevp_beta + 1.0
             delu = (vtm_u - vt_u) / b_mevp
             delv = (vtm_v - vt_v) / b_mevp
-            dtep = dte / b_mevp
         else:
             delu = 0.0
             delv = 0.0
-            dtep = dte
 
-        dte_over_mass = dtep / jnp.maximum(min_m, node_mass)
         uice, vice = vt_u, vt_v
 
         du = forcing.ocean_u - uice
         dv = forcing.ocean_v - vice
         c_prime = phys.rhow * p.quad_drag_coef_water * jnp.sqrt(du * du + dv * dv)
         tau_b = c_bu / (jnp.sqrt(uice * uice + vice * vice) + p.u0)
+        dte_over_mass = dte_over_mass_const
         alpha = 1.0 + dte_over_mass * (c_prime * cos_ota + tau_b)
-        beta = dtep * fcor + dte_over_mass * c_prime * sin_ota_signed
+        beta = beta_cor_const + dte_over_mass * c_prime * sin_ota_signed
         rdenom = 1.0 / (alpha * alpha + beta * beta)
 
         tau_x = tau_ax + c_prime * (

@@ -105,6 +105,11 @@ def _substep_kernel(
     else:
         bbm_expC = bbm_pmax = None
 
+    # loop-invariant node coefficients (node_mass, fcor are fixed)
+    dtep_const = dte / (p.mevp_beta + 1.0) if dyn_type == "mevp" else dte
+    dte_over_mass = dtep_const / jnp.maximum(min_m, node_mass)
+    beta_cor = dtep_const * fcor
+
     def substep(s, carry):
         vt_u, vt_v, sigma, damage, ut_du, ut_dv = carry
         eps11, eps22, eps12 = stencil.strain_rates(vt_u, vt_v, dx)
@@ -131,20 +136,17 @@ def _substep_kernel(
             b_mevp = p.mevp_beta + 1.0
             delu = (vtm_u - vt_u) / b_mevp
             delv = (vtm_v - vt_v) / b_mevp
-            dtep = dte / b_mevp
         else:
             delu = 0.0
             delv = 0.0
-            dtep = dte
 
-        dte_over_mass = dtep / jnp.maximum(min_m, node_mass)
         uice, vice = vt_u, vt_v
         du = ocean_u - uice
         dv = ocean_v - vice
         c_prime = phys.rhow * p.quad_drag_coef_water * jnp.sqrt(du * du + dv * dv)
         tau_b = c_bu / (jnp.sqrt(uice * uice + vice * vice) + p.u0)
         alpha = 1.0 + dte_over_mass * (c_prime * cos_ota + tau_b)
-        beta = dtep * fcor + dte_over_mass * c_prime * sin_ota_signed
+        beta = beta_cor + dte_over_mass * c_prime * sin_ota_signed
         rdenom = 1.0 / (alpha * alpha + beta * beta)
         tau_x = tau_ax + c_prime * (ocean_u * cos_ota - ocean_v * sin_ota_signed)
         tau_y = tau_ay + c_prime * (ocean_v * cos_ota + ocean_u * sin_ota_signed)
