@@ -295,6 +295,29 @@ _register(DatasetSpec(
     variables=(DataVar("sea_ice_concentration", "obs_conc", a=0.01),),
 ))
 _register(DatasetSpec(
+    name="ice_icesat",
+    filename_mask="icesat_icethk_ON06_filled.nc",
+    frequency="static",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(DataVar("icethk", "obs_thick", a=0.01),),  # cm -> m
+))
+_register(DatasetSpec(
+    name="ww3a",
+    filename_mask="SWARP_WW3_ARCTIC-12K_%Y%m%d.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(
+        DataVar("hs", "wlbk"),  # significant wave height placeholder target
+    ),
+))
+_register(DatasetSpec(
+    name="dist2coast",
+    filename_mask="dist2coast_4deg.nc",
+    frequency="static",
+    grid=GridSpec(kind="regular_latlon", lat_name="lat", lon_name="lon"),
+    variables=(DataVar("dist", "depth", a=1.0),),
+))
+_register(DatasetSpec(
     name="ice_nemo",
     filename_mask="NEMO_icemod.nc",
     frequency="static",

@@ -366,3 +366,69 @@ def model_output_ice(cfg, grid, state, mask, time_init: float, product: str):
         damage=jnp.zeros(grid.shape, dtype),
         ridge_ratio=jnp.zeros(grid.shape, dtype),
     )
+
+
+def topaz_osisaf_icesat_ice(cfg, grid, state, mask, time_init: float):
+    """TOPAZ reanalysis + OSISAF conc/type + ICESat MYI thickness + AMSR-E
+    young ice (reference: topazIceOsisafIcesat, fe.cpp:11798-11925):
+    MYI cells take max(icesat, topaz) absolute thickness; ridge_ratio is the
+    type ratio *scaled by conc* (unlike the AMSR2 blend); AMSR-E excess conc
+    becomes young ice."""
+    bg = _read_ice_fields(cfg, grid, "topaz", time_init)
+    osisaf = _read_obs(cfg, grid, "ice_osisaf", time_init)
+    osisaf_type = _read_obs(cfg, grid, "ice_osisaf_type", time_init)
+    amsre = _read_obs(cfg, grid, "ice_amsre", time_init)
+    icesat = _read_obs(cfg, grid, "ice_icesat", time_init)
+
+    dtype = state.conc.dtype
+    hi = np.where(bg["thick"] > 1e-14, bg["thick"], 0.0)  # absolute
+    hs = np.where(bg.get("snow", np.zeros(grid.shape)) > 1e-14, bg.get("snow", 0.0), 0.0)
+    conc = np.minimum(1.0, bg["conc"])
+    conc = np.where(conc > 1e-14, conc, 0.0)
+    if "obs_conc" in osisaf:
+        conc = np.where(conc > 0.0, osisaf["obs_conc"], conc)
+
+    ice_type = osisaf_type.get("obs_type", np.full(grid.shape, 2.0))
+    icesat_h = icesat.get("obs_thick", np.zeros(grid.shape))
+    ratio_fyi, ratio_myi = 0.3, 0.9
+    ratio_mixed = 0.5 * (ratio_fyi + ratio_myi)
+    thick_fyi = hi
+    thick_myi = np.maximum(icesat_h, hi)
+    thick_mixed = 0.5 * (thick_fyi + thick_myi)
+    ridge = np.select(
+        [ice_type < 1.5, ice_type < 2.5, ice_type < 3.5],
+        [0.0, ratio_fyi, ratio_myi], default=ratio_mixed,
+    )
+    hi_typed = np.select(
+        [ice_type < 1.5, ice_type < 2.5, ice_type < 3.5],
+        [thick_fyi, thick_fyi, thick_myi], default=thick_mixed,
+    )
+    has_ice = (hi > 0.0) & (conc > 0.2)
+    hi = np.where(has_ice, hi_typed, hi)
+    ridge = np.where(has_ice, ridge, 0.0)
+
+    gone = (conc < 0.01) | (hi < phys_hmin())
+    conc = np.where(gone, 0.0, conc)
+    hi = np.where(gone, 0.0, hi)
+    hs = np.where(gone, 0.0, hs)
+    # this scheme scales ridge_ratio by conc (fe.cpp:11911)
+    ridge = np.where(gone, 0.0, ridge * conc)
+
+    m = np.asarray(mask)
+    updates = dict(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(hi * conc * m, dtype),
+        snow_thick=jnp.asarray(hs * conc * m, dtype),
+        ridge_ratio=jnp.asarray(ridge * m, dtype),
+        damage=jnp.zeros(grid.shape, dtype),
+    )
+    # AMSR-E excess concentration becomes young ice (fe.cpp:11917-11921)
+    if cfg["thermo.newice_type"] == 4 and "obs_conc" in amsre:
+        cy = np.clip(amsre["obs_conc"] - conc, 0.0, 1.0)
+        h_young_min = cfg["thermo.h_young_min"]
+        h_young_max = cfg["thermo.h_young_max"]
+        updates["conc_young"] = jnp.asarray(cy * m, dtype)
+        updates["h_young"] = jnp.asarray(
+            cy * (h_young_min + 0.5 * (h_young_max - h_young_min)) * m, dtype
+        )
+    return state.replace(**updates)

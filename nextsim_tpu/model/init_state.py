@@ -93,11 +93,9 @@ def _init_ice(cfg, grid, state, mask) -> State:
         return iid.model_output_ice(cfg, grid, state, mask, t0, "ice_nemo")
     if ice_type == "cice":
         return iid.model_output_ice(cfg, grid, state, mask, t0, "ice_cice")
-    raise NotImplementedError(
-        f"ice init scheme {ice_type!r}: the icesat blend "
-        "(topaz4_rean-osisaf-icesat) needs its blend function added in "
-        "nextsim_tpu/model/init_ice_datasets.py"
-    )
+    if ice_type == "topaz4_rean-osisaf-icesat":
+        return iid.topaz_osisaf_icesat_ice(cfg, grid, state, mask, t0)
+    raise NotImplementedError(f"unknown ice init scheme {ice_type!r}")
 
 
 def _constant_ice(cfg, grid, state, mask, partial: bool) -> State:

@@ -63,6 +63,7 @@ class ThermoParams:
     reset_freeze_days: float = 3.0
     equal_melting: bool = True
     use_parameterised_lw: bool = False
+    ocean_bulk_formula: str = "nextsim"  # nextsim | coare (AeroBulk analog)
 
 
 def thermo_params(cfg) -> ThermoParams:
@@ -121,4 +122,5 @@ def thermo_params(cfg) -> ThermoParams:
         reset_freeze_days=cfg["age.reset_freeze_days"],
         equal_melting=cfg["age.equal_melting"],
         use_parameterised_lw=cfg["thermo.use_parameterised_long_wave_radiation"],
+        ocean_bulk_formula=cfg["thermo.ocean_bulk_formula"],
     )

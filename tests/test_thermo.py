@@ -270,3 +270,29 @@ def test_thermo_conserves_freshwater_sign_conventions():
     del_hi = np.asarray(diag["del_hi"])[2:-2, 2:-2]
     assert (np.sign(brine) == -np.sign(del_hi)).all() or np.allclose(brine, 0)
     assert np.isfinite(np.asarray(diag["qa"])).all()
+
+
+def test_coare_bulk_fluxes_comparable_to_nextsim():
+    """The COARE option produces fluxes of the same sign and order as the
+    nextsim formula in a typical cold-advection case."""
+    cfg = Config(overrides={"setup.atmosphere-type": "constant",
+                            "ideal_simul.constant_wind_u": 8.0,
+                            "simul.spinup_duration": 0.0})
+    from nextsim_tpu.grid.grid import Grid
+    from nextsim_tpu.forcing.providers import ConstantForcing
+    from nextsim_tpu.core.state import State
+
+    g = Grid.square(nx=4, ny=4, dx=10e3)
+    f = ConstantForcing(cfg, g)(0.0, 0.0)
+    s = State.zeros(g).replace(sst=jnp.full(g.shape, 2.0))
+    p = default_params()
+    wspeed = thermo.wind_speed_cells(f)
+    sphuma = thermo.specific_humidity_air(p, f)
+    a = thermo.ow_bulk_fluxes(p, s, f, wspeed, sphuma)
+    b = thermo.ow_bulk_fluxes_coare(p, s, f, wspeed, sphuma)
+    for k in ("qsh", "qlh", "qow"):
+        va, vb = float(a[k][1, 1]), float(b[k][1, 1])
+        assert np.sign(va) == np.sign(vb), k
+        assert 0.2 < abs(vb) / max(abs(va), 1e-9) < 5.0, (k, va, vb)
+    # both report positive drag coefficients
+    assert float(b["tau_ow"][1, 1]) > 0.0
