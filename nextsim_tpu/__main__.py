@@ -56,6 +56,11 @@ def main(argv=None) -> int:
 
     cfg = Config.from_files(*files, overrides=overrides)
 
+    # multi-host boot (no-op on a single host; reference: Environment ctor)
+    from nextsim_tpu.parallel.distributed import init_distributed
+
+    init_distributed()
+
     from nextsim_tpu.model.simulator import Simulator
 
     sim = Simulator(cfg)
