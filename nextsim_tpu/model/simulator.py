@@ -123,6 +123,8 @@ class Simulator:
         self.drifters = instantiate_drifters(
             cfg, self.grid, np.asarray(self.state.conc), self.time_init
         )
+        self._drifter_last_move = self.time_init
+        self._drifter_ut_prev = None
         # coupling exchange (reference: initOASIS fe.cpp:7585-7860)
         self.coupler = None
         if cfg["setup.ocean-type"] == "coupled" or cfg["coupler.with_waves"]:
@@ -367,17 +369,27 @@ class Simulator:
             self.moorings.update_means(self.state, self.diag)
             self.moorings.maybe_output(self)
         if self.drifters:
-            vt_u = np.asarray(self.state.vt_u)
-            vt_v = np.asarray(self.state.vt_v)
-            conc = None
-            for d in self.drifters:
-                d.move(vt_u, vt_v, self.dt)
-                if conc is None:
-                    conc = np.asarray(self.state.conc)
-                if hasattr(d, "update_transient"):
-                    d.update_transient(t, conc)
-                d.mask_by_conc(conc)
-                d.maybe_output(t)
+            # move drifters with the accumulated displacement (UT) at the
+            # finest drifter cadence — one host sync per update, as in the
+            # reference (buoys ride M_UT between outputs)
+            cadence = min(d.output_dt_days for d in self.drifters)
+            cadence = max(cadence, self.dt * dates.DAYS_IN_SEC)
+            if t - self._drifter_last_move >= cadence - 1e-9:
+                ut_u = np.asarray(self.state.ut_u)
+                ut_v = np.asarray(self.state.ut_v)
+                if self._drifter_ut_prev is None:
+                    self._drifter_ut_prev = (np.zeros_like(ut_u), np.zeros_like(ut_v))
+                du = ut_u - self._drifter_ut_prev[0]
+                dv = ut_v - self._drifter_ut_prev[1]
+                self._drifter_ut_prev = (ut_u, ut_v)
+                self._drifter_last_move = t
+                conc = np.asarray(self.state.conc)
+                for d in self.drifters:
+                    d.move_by_displacement(du, dv)
+                    if hasattr(d, "update_transient"):
+                        d.update_transient(t, conc)
+                    d.mask_by_conc(conc)
+                    d.maybe_output(t)
         if self.export_interval_steps and self.pcpt % self.export_interval_steps == 0:
             from nextsim_tpu.output.exporter import export_snapshot
 

@@ -99,6 +99,17 @@ class DrifterSet:
         self.x = np.where(self.alive, self.x + dt * u, self.x)
         self.y = np.where(self.alive, self.y + dt * v, self.y)
 
+    def move_by_displacement(self, dut_u: np.ndarray, dut_v: np.ndarray):
+        """Advance positions by the accumulated displacement field since the
+        last drifter update — the reference's actual scheme: buoys move with
+        M_UT between drifter outputs (reference: checkMoveDrifters
+        fe.cpp:8375-8403, Drifters::move). One host sync per drifter output
+        instead of one per model step."""
+        du = _sample(self.grid, dut_u, self.x, self.y, cell=False)
+        dv = _sample(self.grid, dut_v, self.x, self.y, cell=False)
+        self.x = np.where(self.alive, self.x + du, self.x)
+        self.y = np.where(self.alive, self.y + dv, self.y)
+
     def mask_by_conc(self, conc: np.ndarray):
         c = _sample(self.grid, conc, self.x, self.y, cell=True)
         self.alive &= c > self.conc_limit

@@ -85,3 +85,47 @@ def test_divergence_of_uniform_flow_zero():
     u_face, v_face = uniform_face_velocity(10, 12, u=0.7, v=-0.3)
     div = advection.divergence(u_face, v_face, 1e4)
     np.testing.assert_allclose(np.asarray(div), 0.0, atol=1e-12)
+
+
+def test_transport_enthalpy_transform_invariance():
+    """Uniform intensive tracers (tice layers, SST) must be invariant under
+    transport with uniform conc/thick — validates the enthalpy/thick
+    transforms' forward+inverse round trip inside transport_and_ridge."""
+    import jax.numpy as jnp2
+
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.core.state import State
+    from nextsim_tpu.grid.grid import Grid
+    from nextsim_tpu.ops.transport import TransportParams, transport_and_ridge
+
+    g = Grid.square(nx=24, ny=24, dx=10e3)
+    mask = jnp2.asarray(g.mask)
+    s = State.zeros(g)
+    ny, nx = g.shape
+    s = s.replace(
+        conc=mask * 0.9,
+        thick=mask * 1.5,
+        tice=jnp2.stack([
+            jnp2.full((ny, nx), -12.0), jnp2.full((ny, nx), -6.0),
+            jnp2.full((ny, nx), -2.5),
+        ]),
+        sst=jnp2.full((ny, nx), -1.5),
+        # smooth non-uniform velocity to exercise the fluxes
+        vt_u=jnp2.asarray(
+            0.3 * np.sin(np.linspace(0, np.pi, ny + 1))[:, None]
+            * np.ones((1, nx + 1)), jnp2.float32),
+        vt_v=jnp2.zeros((ny + 1, nx + 1)),
+    )
+    ga = {
+        "mask": mask, "open_mask": jnp2.asarray(g.open_mask),
+        "delta_x": g.dx,
+    }
+    p = TransportParams.from_config(Config())
+    s2, diag = transport_and_ridge(s, ga, 600.0, p)
+    inner = np.s_[4:-4, 4:-4]
+    # intensive layer temperatures unchanged where fields are uniform
+    np.testing.assert_allclose(np.asarray(s2.tice[1])[inner], -6.0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s2.tice[2])[inner], -2.5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s2.sst)[inner], -1.5, atol=1e-4)
+    # conservative fields moved (divergent u) but stay bounded
+    assert float(np.asarray(s2.conc).max()) <= 1.0 + 1e-6

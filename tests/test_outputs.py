@@ -254,3 +254,26 @@ def test_wave_coupling_drives_fsd_breakup(tmp_path):
     assert cf[:-1].sum() > 0.0  # broken bins populated
     # FSD-damage feedback engaged
     assert float(np.asarray(sim.state.damage).max()) > 0.0
+
+
+def test_simulator_drifters_move_with_ut(tmp_path):
+    """Simulator-level drifters: UT-displacement movement at drifter cadence
+    (one host sync per drifter update, reference checkMoveDrifters scheme)."""
+    cfg = toy_cfg(tmp_path, **{
+        "moorings.use_moorings": False,
+        "drifters.use_equally_spaced_drifters": True,
+        "drifters.spacing": 80.0,
+        # drifter cadence = 2 steps
+        "drifters.equally_spaced_drifters_output_time_step": 2 * 200.0 / 86400.0,
+        "setup.ice-type": "constant",
+    })
+    sim = Simulator(cfg)
+    assert sim.drifters
+    x0 = sim.drifters[0].x.copy()
+    for _ in range(6):
+        sim.step()
+    d = sim.drifters[0]
+    # ice drifts +x under +x wind: buoys moved right
+    moved = d.x - x0
+    assert moved.max() > 1.0  # meters
+    assert len(d.records) >= 2
