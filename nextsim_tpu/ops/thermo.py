@@ -543,12 +543,17 @@ def thermo_winton(p: ThermoParams, dt, conc, voli, vols, snowfall, qia, dqiadT, 
     has_hi = hi > 0.0
     t1 = jnp.minimum(jnp.where(lower_bigger, t1_a, t1), -1e-6)
     t2 = jnp.where((~lower_bigger) & has_hi, t2_b, t2)
-    # melt from both if T2 drifted above freezing (fe.cpp:6824-6837)
+    # melt from both if T2 drifted above freezing (fe.cpp:6824-6837).
+    # The denominator crosses zero near T1 ~ Tfr/2; in float32 that window is
+    # wide enough to hit, so clamp its magnitude — the resulting huge melt
+    # term drives hi below hmin and the cleanup below zeroes the cell, which
+    # is the physically-intended outcome (all ice melts).
     hot2 = (~lower_bigger) & has_hi & (t2 > tfr_ice)
-    mlt_term = (
-        hi / 4.0 * crho * (t2 - tfr_ice) * t1
-        / (qi * t1 + (crho * t1 - qi) * (tfr_ice - t1))
+    mlt_den = qi * t1 + (crho * t1 - qi) * (tfr_ice - t1)
+    mlt_den = jnp.where(
+        jnp.abs(mlt_den) < 1e3, jnp.where(mlt_den >= 0.0, 1e3, -1e3), mlt_den
     )
+    mlt_term = hi / 4.0 * crho * (t2 - tfr_ice) * t1 / mlt_den
     mlt_hi_top = jnp.where(hot2, mlt_hi_top - mlt_term, mlt_hi_top)
     mlt_hi_bot = jnp.where(hot2, mlt_hi_bot - mlt_term, mlt_hi_bot)
     hi = jnp.where(hot2, hi - 2.0 * mlt_term, hi)
@@ -556,8 +561,14 @@ def thermo_winton(p: ThermoParams, dt, conc, voli, vols, snowfall, qia, dqiadT, 
 
     del_hi = hi - hi_old
 
-    # too-thin cleanup (fe.cpp:6842-6862)
-    thin = hi < phys.hmin
+    # too-thin cleanup (fe.cpp:6842-6862). Non-finite lanes (pathological
+    # float32 corner states) are routed through the cleanup as fully melted
+    # rather than being allowed to propagate NaN (NaN < hmin is False).
+    bad = ~(jnp.isfinite(hi) & jnp.isfinite(hs) & jnp.isfinite(t1) & jnp.isfinite(t2))
+    hi = jnp.where(bad, 0.0, hi)
+    hs = jnp.where(bad, 0.0, hs)
+    del_hi = jnp.where(bad, -hi_old, del_hi)
+    thin = (hi < phys.hmin) | bad
     qio = jnp.where(thin, qio - (-qs * hs + (e1 + e2) * hi / 2.0) / dt, qio)
     melt_scale = jnp.where(del_hi < 0.0, -hi_old / jnp.minimum(del_hi, -1e-30), 0.0)
     mlt_hi_top = jnp.where(thin, mlt_hi_top * melt_scale, mlt_hi_top)

@@ -296,3 +296,47 @@ def test_coare_bulk_fluxes_comparable_to_nextsim():
         assert 0.2 < abs(vb) / max(abs(va), 1e-9) < 5.0, (k, va, vb)
     # both report positive drag coefficients
     assert float(b["tau_ow"][1, 1]) > 0.0
+
+
+def test_winton_finite_under_fuzzed_extremes(rng):
+    """Fuzz thermoWinton across pathological float32 states (incl. the
+    T1 ~ Tfr/2 layer-evening denominator-zero window) — outputs must stay
+    finite everywhere; bad lanes resolve to fully-melted cells."""
+    p = default_params()
+    n = 64
+    shape = (n, n)
+    U = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, shape).astype(np.float32))
+    conc = U(0.0, 1.0)
+    voli = U(0.0, 3.0)
+    vols = U(0.0, 0.5)
+    tfr_ice = -p.freezingpoint_mu * 5.0
+    # surface/internal temps spanning the dangerous near-freezing band
+    tsurf = U(-30.0, 0.0)
+    t1 = U(tfr_ice, -1e-4)  # includes Tfr/2
+    t2 = U(-2.0, 0.5)  # includes T2 > Tfr (the melt-evening branch)
+    out = thermo.thermo_winton(
+        p, 900.0, conc, voli, vols, U(0.0, 1e-4),
+        U(-600.0, 600.0), U(1.0, 40.0), U(0.0, 50.0), U(0.0, 1e-4),
+        jnp.full(shape, -1.8), U(-200.0, 1200.0), tsurf, t1, t2,
+    )
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
+    # tsurf/t1 bounded by the melting point; t2 may transiently exceed Tfr
+    # in the h2>h1 evening branch (the reference only melts T2 back in the
+    # other branch, fe.cpp:6816-6837) given unphysical fuzzed inputs
+    for k in ("tsurf", "t1"):
+        assert float(np.asarray(out[k]).max()) <= 1e-5, k
+
+
+def test_ice0_finite_under_fuzzed_extremes(rng):
+    p = default_params()
+    n = 64
+    shape = (n, n)
+    U = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, shape).astype(np.float32))
+    out = thermo.thermo_ice0(
+        p, 900.0, U(0.0, 1.0), U(0.0, 3.0), U(0.0, 0.5), U(0.0, 1e-4),
+        U(-600.0, 600.0), U(1.0, 40.0), U(0.0, 50.0), U(0.0, 1e-4),
+        jnp.full(shape, -1.8), U(-200.0, 1200.0), U(-30.0, 0.0),
+    )
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
