@@ -340,3 +340,35 @@ def test_ice0_finite_under_fuzzed_extremes(rng):
     )
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
+
+
+def test_thermo_step_finite_under_fuzzed_state(rng):
+    """Whole thermo driver over a randomized (bounded but rough) state stays
+    finite — guards the driver's own divisions (nudging, volume/energy
+    conservation, salinity denominator)."""
+    cfg, grid, state, forcing, ga = make_thermo_setup()
+    ny, nx = grid.shape
+    U = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (ny, nx)).astype(np.float32))
+    mask = jnp.asarray(grid.mask)
+    state = state.replace(
+        conc=U(0.0, 1.0) * mask,
+        thick=U(0.0, 4.0) * mask,
+        snow_thick=U(0.0, 0.4) * mask,
+        conc_young=U(0.0, 0.3) * mask,
+        h_young=U(0.0, 0.15) * mask,
+        hs_young=U(0.0, 0.02) * mask,
+        sst=U(-1.9, 3.0),
+        sss=U(1.0, 40.0),
+        tsurf_young=U(-30.0, 0.0),
+        tice=jnp.stack([U(-30.0, -0.28), U(-20.0, -0.28), U(-5.0, -0.28)]),
+    )
+    p = thermo_params(Config())
+    s2, diag = thermo.thermo_step(state, forcing, ga, 900.0, p)
+    import dataclasses as _dc
+
+    for f in _dc.fields(s2):
+        v = getattr(s2, f.name)
+        if v is not None:
+            assert np.isfinite(np.asarray(v)).all(), f"non-finite {f.name}"
+    for k, v in diag.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite diag {k}"
