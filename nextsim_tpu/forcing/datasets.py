@@ -301,15 +301,10 @@ _register(DatasetSpec(
     grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
     variables=(DataVar("icethk", "obs_thick", a=0.01),),  # cm -> m
 ))
-_register(DatasetSpec(
-    name="ww3a",
-    filename_mask="SWARP_WW3_ARCTIC-12K_%Y%m%d.nc",
-    frequency="daily",
-    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
-    variables=(
-        DataVar("hs", "wlbk"),  # significant wave height placeholder target
-    ),
-))
+# NB: the reference's standalone wave datasets (ww3a, erai_waves) feed only
+# the WAVES/WIM module, which operationally is superseded by OASIS-WW3
+# coupling (SURVEY.md §2.6); wave fields (wlbk, wave stress) enter through
+# the coupling exchange here (coupling/exchange.py), matching that setup.
 _register(DatasetSpec(
     name="dist2coast",
     filename_mask="dist2coast_4deg.nc",
