@@ -323,6 +323,10 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     "tpu.mesh_shape": (str, "1x1"),  # dp_y x dp_x device mesh
     "tpu.use_pallas": (bool, False),
     "tpu.donate_state": (bool, True),
+    # fetch the checkFieldsFast verdict every N steps (device work still runs
+    # every step; raising this only batches the host readback — useful when
+    # the accelerator is behind a high-latency link)
+    "tpu.check_interval": (int, 1),
 }
 
 # Allowed values for enum-like string options (reference: getOptionFromMap /

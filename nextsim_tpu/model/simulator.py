@@ -330,10 +330,20 @@ class Simulator:
 
         if self.check_fast:
             self.timer.tick("checks")
-            flags = np.asarray(viol)
-            if flags.any():
-                msgs = checks.describe(flags, self.dyn.use_young_ice)
-                self._crash_dump(msgs)
+            # device-side check runs every step; the host readback (a sync)
+            # is batched by tpu.check_interval, accumulating the window's
+            # violations on device so nothing is missed
+            import jax.numpy as jnp
+
+            prev = getattr(self, "_pending_viol", None)
+            self._pending_viol = viol if prev is None else jnp.maximum(prev, viol)
+            interval = self.cfg["tpu.check_interval"]
+            if interval <= 1 or self.pcpt % interval == 0:
+                flags = np.asarray(self._pending_viol)
+                self._pending_viol = None
+                if flags.any():
+                    msgs = checks.describe(flags, self.dyn.use_young_ice)
+                    self._crash_dump(msgs)
             self.timer.tock("checks")
         if self.cfg["debugging.check_velocity_fields"]:
             n_rogue, max_rel = checks.check_velocity_fields(

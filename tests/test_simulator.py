@@ -93,3 +93,22 @@ def test_simulator_from_reference_toy_cfg():
     sim.run()
     assert sim.pcpt == 5
     assert np.isfinite(np.asarray(sim.state.vt_u)).all()
+
+
+def test_check_interval_batches_but_catches(tmp_path):
+    """tpu.check_interval batches the host readback without losing a
+    transient violation inside the window."""
+    cfg = toy_config(**{"tpu.check_interval": 4, "output.exporter_path": str(tmp_path)})
+    sim = Simulator(cfg)
+    sim.step()  # pcpt=1, no readback yet
+    # inject an out-of-bounds SST between steps (NaNs in ice fields would
+    # self-heal: the masking semantics zero cells whose comparisons go
+    # False); the window accumulation must flag it at the next readback
+    import jax.numpy as jnp
+
+    bad = np.asarray(sim.state.sst).copy()
+    bad[10, 10] = -10.0  # below the -5 C sanity bound
+    sim.state = sim.state.replace(sst=jnp.asarray(bad))
+    with pytest.raises(RuntimeError, match="checkFieldsFast"):
+        for _ in range(4):
+            sim.step()
