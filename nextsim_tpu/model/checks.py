@@ -99,3 +99,19 @@ def check_velocity_fields(state, node_mask, spd_lim: float = 0.5):
     rel = jnp.where(fast, rel, 0.0)
     rogue = rel > 4.0
     return rogue.sum(), rel.max()
+
+
+def detailed_report(state, j: int, i: int) -> str:
+    """Per-cell field dump for debugging a flagged element (reference:
+    checkFields with debugging.test_element_number, fe.cpp:14661+)."""
+    import numpy as np
+
+    lines = [f"--- cell ({j},{i}) ---"]
+    for name, *_ in CELL_BOUNDS + YOUNG_BOUNDS:
+        v = np.asarray(getattr(state, name))
+        val = v[..., j, i] if v.ndim == 3 else v[j, i]
+        lines.append(f"{name:14s} = {np.array2string(np.atleast_1d(val), precision=6)}")
+    for name in ("vt_u", "vt_v"):
+        v = np.asarray(getattr(state, name))
+        lines.append(f"{name:14s} = {v[j, i]:.6g}")
+    return "\n".join(lines)

@@ -185,14 +185,18 @@ class Moorings:
 
     def update_means(self, state, diag: Dict):
         """Accumulate on the model grid (device; reference: updateMeans,
-        fe.cpp:8518-9037)."""
+        fe.cpp:8518-9037). In snapshot mode (moorings.snapshot) the latest
+        value replaces the running sum, so the record is instantaneous."""
         for name in self.names:
             arr = self._extract(name, state, diag)
             if arr is None:
                 continue
             for key, a in arr.items():
-                self._accum[key] = self._accum.get(key, 0.0) + a
-        self._count += 1
+                if self.snapshot:
+                    self._accum[key] = a
+                else:
+                    self._accum[key] = self._accum.get(key, 0.0) + a
+        self._count = 1 if self.snapshot else self._count + 1
 
     def _extract(self, name, state, diag) -> Optional[Dict[str, jnp.ndarray]]:
         if name in VECTOR_VARIABLES:
@@ -221,10 +225,9 @@ class Moorings:
         return self._write_record(t)
 
     def _write_record(self, t: float) -> str:
-        n = 1 if self.snapshot else self._count
         fields = {}
         for key, acc in self._accum.items():
-            mean = np.asarray(acc) / (self._count if not self.snapshot else self._count)
+            mean = np.asarray(acc) / self._count
             # remap to output grid
             if mean.shape == self.grid.shape:
                 out = self._cell_interp(mean)
