@@ -163,11 +163,22 @@ class Moorings:
             )
             self.lat, self.lon = np.asarray(lat), np.asarray(lon)
 
-            # precompute bilinear sampling weights model-cells -> output points
-            self._cell_interp = _BilinearSampler(
-                grid.x0 + 0.5 * grid.dx, grid.y0 + 0.5 * grid.dx, grid.dx,
-                grid.shape, self.xo, self.yo,
-            )
+            # model-cells -> output points: exactly conservative mean-pooling
+            # when the output spacing is an integer multiple of the model dx
+            # (the analog of ConservativeRemappingMeshToGrid,
+            # contrib/bamg/src/ConservativeRemapping.cpp), bilinear otherwise
+            ratio = self.spacing / grid.dx
+            conservative = (
+                cfg["moorings.use_conservative_remapping"]
+                or abs(ratio - round(ratio)) < 1e-9
+            ) and abs(ratio - round(ratio)) < 1e-9 and round(ratio) >= 1
+            if conservative:
+                self._cell_interp = _MeanPool(grid.shape, int(round(ratio)), self.out_shape)
+            else:
+                self._cell_interp = _BilinearSampler(
+                    grid.x0 + 0.5 * grid.dx, grid.y0 + 0.5 * grid.dx, grid.dx,
+                    grid.shape, self.xo, self.yo,
+                )
             self._node_interp = _BilinearSampler(
                 grid.x0, grid.y0, grid.dx, grid.node_shape, self.xo, self.yo
             )
@@ -346,3 +357,19 @@ class _PointSampler:
             + f[self.j1, self.i0] * (1 - self.wx) * self.wy
             + f[self.j1, self.i1] * self.wx * self.wy
         )
+
+
+class _MeanPool:
+    """Exactly-conservative block averaging onto a coarser aligned grid."""
+
+    def __init__(self, src_shape, factor: int, out_shape):
+        self.f = factor
+        self.src_shape = src_shape
+        self.out_shape = out_shape
+
+    def __call__(self, field: np.ndarray) -> np.ndarray:
+        f = self.f
+        ny, nx = self.src_shape
+        nyo, nxo = self.out_shape
+        a = np.asarray(field)[: nyo * f, : nxo * f]
+        return a.reshape(nyo, f, nxo, f).mean(axis=(1, 3))
