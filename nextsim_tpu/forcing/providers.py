@@ -13,8 +13,6 @@ NetCDF dataset providers live in nextsim_tpu/forcing/datasets.py.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

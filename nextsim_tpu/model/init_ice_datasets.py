@@ -27,7 +27,6 @@ proportionally, and re-run checkConsistency.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional
 
 import jax.numpy as jnp

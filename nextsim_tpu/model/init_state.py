@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nextsim_tpu.core import constants as phys
 from nextsim_tpu.core.state import State

@@ -22,7 +22,7 @@ import numpy as np
 
 from nextsim_tpu.config import Config
 from nextsim_tpu.core import constants as phys
-from nextsim_tpu.core.state import Diag, State
+from nextsim_tpu.core.state import State
 from nextsim_tpu.forcing.providers import make_provider
 from nextsim_tpu.grid.grid import Grid
 from nextsim_tpu.model import checks, init_state, params

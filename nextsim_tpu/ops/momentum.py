@@ -20,9 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -169,7 +167,9 @@ def explicit_solve(
     tau_ax = drag_node * forcing.wind_u
     tau_ay = drag_node * forcing.wind_v
 
-    # wave stress (coupled; zeros otherwise)
+    # D_tau_a diagnostic excludes the wave stress (reference keeps them
+    # separate: fe.cpp:10394 vs the tau_x sum at 10510-10517)
+    tau_ax_diag, tau_ay_diag = tau_ax, tau_ay
     if forcing.tau_wi_u is not None:
         tau_ax = tau_ax + forcing.tau_wi_u
         tau_ay = tau_ay + forcing.tau_wi_v
@@ -358,7 +358,7 @@ def explicit_solve(
         sigma=sigma,
         damage=damage,
     )
-    diag = {"tau_ax": tau_ax, "tau_ay": tau_ay, "tau_wx": tau_wx, "tau_wy": tau_wy}
+    diag = {"tau_ax": tau_ax_diag, "tau_ay": tau_ay_diag, "tau_wx": tau_wx, "tau_wy": tau_wy}
     return state, diag
 
 

@@ -18,7 +18,7 @@ The distance field is precomputed from the grid's open-boundary cells.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -26,7 +26,7 @@ kept for parity.
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -108,16 +108,21 @@ def transport_and_ridge(state, grid_arrays, dt: float, p: TransportParams):
     enth_r = cons(enth_density)
     t2_r = cons(state.tice[2] * old_thick)
 
-    # inverse transforms (redistributeVariables, fe.cpp:2219-2248)
+    # inverse transforms (redistributeVariables, fe.cpp:2219-2248).
+    # Gate on a small but non-denormal thickness: dividing by float32-tiny
+    # advected volumes overflows enth^2 to inf and poisons T1 with -inf,
+    # which then NaNs the next thermo step (the reference runs in float64
+    # where the window is harmless).
     tfr_ice = -p.freezingpoint_mu * phys.si
-    has_c = conc > 0.0
-    has_h = thick > 0.0
-    age_det = jnp.where(has_c, age_det_r / jnp.maximum(conc, 1e-30), 0.0)
-    age = jnp.where(has_h, age_r / jnp.maximum(thick, 1e-30), 0.0)
-    enth = enth_r / jnp.maximum(thick, 1e-30)
+    has_c = conc > 1e-6
+    has_h = thick > 1e-6
+    age_det = jnp.where(has_c, age_det_r / jnp.maximum(conc, 1e-6), 0.0)
+    age = jnp.where(has_h, age_r / jnp.maximum(thick, 1e-6), 0.0)
+    enth = enth_r / jnp.maximum(thick, 1e-6)
     t1_new = 0.5 * (enth - jnp.sqrt(enth * enth + 4.0 * mu_si_lf_c))
-    t1_new = jnp.where(has_h, t1_new, tfr_ice)
-    t2_new = jnp.where(has_h, t2_r / jnp.maximum(thick, 1e-30), tfr_ice)
+    t1_new = jnp.clip(jnp.where(has_h, t1_new, tfr_ice), -100.0, tfr_ice)
+    t2_new = jnp.where(has_h, t2_r / jnp.maximum(thick, 1e-6), tfr_ice)
+    t2_new = jnp.clip(t2_new, -100.0, 0.0)
 
     # ---- 2) intensive tracers -------------------------------------------
     damage = jnp.clip(intens(state.damage), 0.0, 1.0)

@@ -20,7 +20,7 @@ host copies of vt so no extra device syncs occur.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -22,7 +22,6 @@ read with nonzero weight.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

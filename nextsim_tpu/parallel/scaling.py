@@ -16,7 +16,6 @@ import time
 from typing import List
 
 import jax
-import numpy as np
 
 
 def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 120) -> List[dict]:

@@ -17,7 +17,6 @@ GSPMD.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Tuple
 
 import jax
