@@ -65,3 +65,14 @@ def test_sharded_step_matches_single_device():
         b = np.asarray(getattr(s2, name))
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6, err_msg=name)
     assert not bool(np.asarray(v2).any())
+
+
+def test_scaling_harness_smoke():
+    """The weak-scaling harness runs on the CPU mesh (tiny sizes)."""
+    from nextsim_tpu.parallel.scaling import measure
+
+    results = measure(cells_per_device_side=16, steps=1, substeps=4)
+    assert results[0]["devices"] == 1
+    assert results[-1]["devices"] == len(jax.devices())
+    for r in results:
+        assert r["cell_substeps_per_s"] > 0

@@ -372,3 +372,24 @@ def test_thermo_step_finite_under_fuzzed_state(rng):
             assert np.isfinite(np.asarray(v)).all(), f"non-finite {f.name}"
     for k, v in diag.items():
         assert np.isfinite(np.asarray(v)).all(), f"non-finite diag {k}"
+
+
+def test_qio_exchange_scheme():
+    """thermo.Qio-type=exchange: heat transfer scales with |v_ice - v_ocean|
+    (reference: iceOceanHeatflux EXCHANGE, fe.cpp:6416-6426)."""
+    p_basic = default_params()
+    p_exch = default_params(**{"thermo.Qio-type": "exchange"})
+    g = Grid.square(nx=4, ny=4, dx=10e3)
+    cfg = Config(overrides={"simul.spinup_duration": 0.0,
+                            "ideal_simul.constant_ocean_u": 0.2})
+    f = ConstantForcing(cfg, g)(0.0, 0.0)
+    s = State.zeros(g).replace(sst=jnp.full(g.shape, -1.0),
+                               sss=jnp.full(g.shape, 32.0))
+    q_basic = thermo.ice_ocean_heatflux(p_basic, s, f, jnp.full(g.shape, 9.0), 900.0)
+    q0 = thermo.ice_ocean_heatflux(p_exch, s, f, jnp.full(g.shape, 9.0), 900.0)
+    # moving ice increases the exchange-scheme flux
+    s2 = s.replace(vt_u=jnp.full(g.node_shape, 0.7))
+    q1 = thermo.ice_ocean_heatflux(p_exch, s2, f, jnp.full(g.shape, 9.0), 900.0)
+    assert float(q1[1, 1]) > float(q0[1, 1]) > 0.0
+    # basic uses ALL the excess heat: much larger than exchange
+    assert float(q_basic[1, 1]) > float(q1[1, 1])
