@@ -98,8 +98,15 @@ def bbm_update(
     if expC is None:
         expC = jnp.exp(p.compaction_param * (1.0 - conc))
     dmg_el = (1.0 - damage) * expC
+    # Floor the relaxation-time base: dmg_el^(alpha-1) underflows float32 for
+    # heavily damaged low-concentration ice (e.g. (1-d)*expC ~ 3e-10 -> ^4 ~
+    # 1e-38 -> flushed to 0), and with tildeP capped at exactly 1 the
+    # multiplicator below becomes 0/0 = NaN. The floor keeps time_viscous
+    # positive-but-negligible, reproducing the reference's float64 behaviour
+    # (multiplicator -> 1-1e-12 in the fully plastic-capped branch, ~0
+    # otherwise).
     time_viscous = p.undamaged_time_relaxation_sigma * _fast_pow(
-        dmg_el, p.exponent_relaxation_sigma - 1.0
+        jnp.maximum(dmg_el, 1e-8), p.exponent_relaxation_sigma - 1.0
     )
 
     # plastic failure tildeP (fe.cpp:4189-4197)

@@ -136,3 +136,44 @@ def test_evp_zero_thickness_zero_stress():
         _cellful(0.0), 1.0, 120.0, p,
     )
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_bbm_no_nan_at_plastic_cap_with_heavy_damage():
+    """Regression for the float32 0/0 found in the 10-day pan-Arctic run:
+    heavily damaged low-concentration ice makes ((1-d)*expC)^(alpha-1)
+    underflow to zero, and with tildeP capped at exactly 1 the stress
+    multiplicator was 0/0 = NaN. Exact field values from the crash cell."""
+    p = BBMParams()
+    sigma = jnp.stack([
+        _cellful(-1.8252746e-06), _cellful(1.4093524e-06), _cellful(2.8479124e-07),
+    ])
+    sig, dmg = bbm_update(
+        sigma, _cellful(0.9876946806907654), _cellful(0.12579339742660522),
+        _cellful(0.18534128367900848), _cellful(8133.779296875),
+        _cellful(2160000.0),
+        _cellful(-3.1374308946396923e-06), _cellful(3.916044533980312e-06),
+        _cellful(3.893068196703098e-07),
+        10e3, 200.0 / 120.0, p,
+    )
+    assert np.isfinite(np.asarray(sig)).all()
+    assert np.isfinite(np.asarray(dmg)).all()
+    # the plastic-capped branch keeps the (tiny) elastic stress rather than
+    # zeroing or exploding it
+    assert abs(float(sig[0, 0, 0])) < 1.0
+
+
+def test_bbm_fuzz_finite(rng):
+    """BBM stays finite across rough random states incl. damage ~ 1 and
+    conc at the rheology floor."""
+    p = BBMParams()
+    n = 64
+    U = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (n, n)).astype(np.float32))
+    sigma = jnp.stack([U(-1e6, 1e6), U(-1e6, 1e6), U(-5e5, 5e5)])
+    sig, dmg = bbm_update(
+        sigma, U(0.0, 0.999999), U(0.0, 1.0), U(0.0, 4.0), U(1e3, 1e5),
+        U(1e3, 1e12), U(-1e-4, 1e-4), U(-1e-4, 1e-4), U(-1e-4, 1e-4),
+        10e3, 200.0 / 120.0, p,
+    )
+    assert np.isfinite(np.asarray(sig)).all()
+    assert np.isfinite(np.asarray(dmg)).all()
+    assert float(np.asarray(dmg).min()) >= 0.0
