@@ -318,6 +318,43 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     "age.reset_freeze_days": (float, 3.0),
     "age.equal_ridging": (bool, False),
     "age.equal_melting": (bool, True),
+    # --- wimsetup / wim / nextwim (reference: modules/wim/src/options_wim.cpp;
+    # the standalone+coupled waves-in-ice module)
+    "wimsetup.initialtime": (str, "2015-01-01 00:00:00"),
+    "wimsetup.duration": (float, 43200.0),
+    "wimsetup.tmin": (float, 2.5),
+    "wimsetup.tmax": (float, 25.0),
+    "wimsetup.nwavefreq": (int, 1),
+    "wimsetup.nwavedirn": (int, 16),
+    "wimsetup.wave-type": (str, "set_in_wim"),
+    "wim.atten": (bool, True),
+    "wim.scatmod": (str, "dissipated"),
+    "wim.young": (float, 5.49e9),
+    "wim.dragrp": (float, 13.0),
+    "wim.advopt": (str, "y-periodic"),
+    "wim.advdim": (int, 2),
+    "wim.steady": (bool, True),
+    "wim.cfl": (float, 0.7),
+    "wim.breaking": (bool, True),
+    "wim.fsdopt": (str, "PowerLawSmooth"),
+    "wim.dfloemin": (float, 20.0),
+    "wim.cicemin": (float, 0.05),
+    "wim.dfloepackthresh": (float, 400.0),
+    "wim.dfloepackinit": (float, 300.0),
+    "wim.refhsice": (bool, False),
+    "wim.useicevel": (bool, False),
+    "wim.hsinc": (float, 3.0),
+    "wim.tpinc": (float, 12.0),
+    "wim.mwdinc": (float, -90.0),
+    "wim.unifc": (float, 0.7),
+    "wim.unifh": (float, 1.0),
+    "nextwim.use_wim": (bool, False),
+    "nextwim.couplingfreq": (int, 20),
+    "nextwim.coupling-option": (str, "break_on_mesh"),
+    "nextwim.wim_damage_mesh": (bool, True),
+    "nextwim.wim_damage_value": (float, 0.999),
+    "nextwim.applywavestress": (bool, True),
+    "nextwim.exportresults": (bool, True),
     # --- tpu (no reference counterpart)
     "tpu.dtype": (str, "float32"),
     "tpu.mesh_shape": (str, "1x1"),  # dp_y x dp_x device mesh
@@ -351,6 +388,10 @@ ENUMS: Dict[str, List[str]] = {
     "output.exporter_precision": ["float", "double"],
     "moorings.file_length": ["inf", "daily", "weekly", "monthly", "yearly"],
     "tpu.dtype": ["float32", "bfloat16", "float64"],
+    "wim.scatmod": ["dissipated", "isotropic"],
+    "wim.advopt": ["notperiodic", "y-periodic", "xy-periodic"],
+    "wim.fsdopt": ["PowerLawSmooth", "RG"],
+    "nextwim.coupling-option": ["naive", "break_on_mesh", "run_on_mesh"],
 }
 
 _TRUE = {"true", "1", "yes", "on"}

@@ -132,6 +132,19 @@ class Simulator:
 
             self.coupler = Coupler(cfg, self.grid, self.time_init)
 
+        # waves-in-ice module (reference: modules/wim; nextwim.* options in
+        # options_wim.cpp). Runs co-located on the model grid at
+        # nextwim.couplingfreq cadence; returns wave stress + breakage.
+        self.wim = None
+        if cfg["nextwim.use_wim"]:
+            from nextsim_tpu.wim import Wim, WimParams
+
+            self.wim = Wim(WimParams.from_config(cfg), self.grid, self.dtype)
+            self.wim_couplingfreq = max(1, cfg["nextwim.couplingfreq"])
+            self._wim_stress = None
+            self._wim_wlbk = None
+            self._wim_nfloes = None
+
         # nesting sponge (reference: forcingNesting fe.cpp:11060-11130)
         self.nesting = None
         if cfg["nesting.use_nesting"]:
@@ -295,12 +308,78 @@ class Simulator:
             "is_myi_reset_date": mk(md == reset_md and midnight),
         }
 
+    def _wim_exchange(self) -> None:
+        """Run the WIM over the next coupling window and harvest wave stress
+        + floe breakage (reference WAVES coupling: nextwim.coupling-option
+        break_on_mesh — breaking applied directly to the sea-ice state;
+        collapsed onto one grid here since the model grid is structured)."""
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        from nextsim_tpu.ops.stencil import cells_to_node_sum
+        from nextsim_tpu.wim import wim as wim_mod
+
+        cfg = self.cfg
+        p = self.wim.p
+        conc = self.state.conc + self.state.conc_young
+        vol = self.state.thick + self.state.h_young  # effective thickness = volume
+        if self._wim_nfloes is None:
+            # unbroken pack on first call (dfloepackinit, iceinfo.hpp:61)
+            self._wim_nfloes = jnp.where(
+                conc >= p.cice_min, conc / p.dfloe_pack_init**2, 0.0
+            )
+        self.wim.set_ice_fields(conc, vol, self._wim_nfloes)
+        # incident waves: open-water cells get the configured sea state
+        # (wimsetup.wave-type=set_in_wim; external wave products would ride
+        # the coupling exchange instead)
+        ones = jnp.ones_like(conc)
+        self.wim.set_wave_fields(
+            ones * p.hs_inc, ones * p.tp_inc, ones * p.mwd_inc
+        )
+        diag = self.wim.run(self.wim_couplingfreq * self.dt)
+        self._wim_nfloes = self.wim.ice["nfloes"]
+        broken = self.wim.ice["broken"]
+
+        if cfg["nextwim.applywavestress"]:
+            # cell stress -> node average for the momentum solver
+            cnt = jnp.maximum(cells_to_node_sum(jnp.ones_like(conc)), 1.0)
+            self._wim_stress = (
+                cells_to_node_sum(diag["tau_x"]) / cnt,
+                cells_to_node_sum(diag["tau_y"]) / cnt,
+            )
+        if self.fsd_params is not None:
+            # feed breakage into the FSD pipeline as a breaking probability
+            # (same entry point as the WW3-coupled wlbk field)
+            self._wim_wlbk = broken
+        elif cfg["nextwim.wim_damage_mesh"]:
+            # no FSD: raise damage directly where floes broke
+            # (nextwim.wim_damage_value, options_wim.cpp)
+            dmg = jnp.maximum(
+                self.state.damage, broken * cfg["nextwim.wim_damage_value"]
+            )
+            self.state = self.state.replace(damage=dmg)
+        self.wim_diag = diag
+
     def step(self) -> None:
         self.timer.tick("step")
+        if self.wim is not None and self.pcpt % self.wim_couplingfreq == 0:
+            self.timer.tick("wim")
+            self._wim_exchange()
+            self.timer.tock("wim")
         self.timer.tick("forcing")
         forcing = self.forcing_provider(self.current_time + self.dt * dates.DAYS_IN_SEC, self.time_init)
         if self.coupler is not None:
             forcing = self.coupler.apply_received(forcing)
+        if self.wim is not None and self._wim_stress is not None:
+            import dataclasses as _dc
+
+            forcing = _dc.replace(
+                forcing,
+                tau_wi_u=self._wim_stress[0],
+                tau_wi_v=self._wim_stress[1],
+                wlbk=self._wim_wlbk if self._wim_wlbk is not None else forcing.wlbk,
+            )
         tinfo = self.time_info()
         self.timer.tock("forcing")
 

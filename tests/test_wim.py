@@ -1,0 +1,325 @@
+"""WIM tests: RTparam dispersion/attenuation, directional spreading,
+spectrum normalisation, WENO advection, the ideal MIZ run, and the
+simulator coupling (reference: modules/wim)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nextsim_tpu.wim import rtparam
+from nextsim_tpu.wim.wim import (
+    Wim,
+    WimParams,
+    dave_from_dfloe,
+    inc_wave_spec,
+    spectral_grids,
+    theta_dir_frac,
+    weno_advect,
+)
+
+
+class StripGrid:
+    """Regular open-water strip, reference wimgrid defaults (150x10@4km)."""
+
+    def __init__(self, nx=150, ny=12, dx=4e3):
+        self.shape = (ny, nx)
+        self.dx = dx
+        self.mask = np.ones((ny, nx))
+
+
+# ---------------------------------------------------------------------------
+# RTparam
+# ---------------------------------------------------------------------------
+
+
+def test_rtparam_dispersion_roots():
+    """kice/kwtr satisfy the non-dimensional dispersion relations
+    (RTparam_outer.c:118-196) to solver tolerance."""
+    h = jnp.asarray([0.5, 1.0, 2.0, 3.0])
+    om = 2 * np.pi / 10.0
+    out = rtparam.rtparam_outer(h, om, 13.0, jnp.full_like(h, om**2 / 9.81))
+    g, rhow, rhoi, nu, E = 9.81, 1025.0, 922.5, 0.3, 5.49e9
+    for i, hi in enumerate(np.asarray(h)):
+        D = E * hi**3 / 12 / (1 - nu**2)
+        L = (D / rhow / om**2) ** 0.2
+        alp = om**2 / g * L
+        zeta = (rhoi / rhow) * hi / L
+        ki = float(out["kice"][i]) * L
+        lam = ki**4 + 1 / alp - zeta
+        res_ice = lam * ki * np.tanh(ki * 4.0) - 1.0
+        assert abs(res_ice) < 1e-4, (hi, res_ice)
+        kw = float(out["kwtr"][i]) * L
+        res_wtr = (1 / alp) * kw * np.tanh(kw * (4.0 + zeta)) - 1.0
+        assert abs(res_wtr) < 1e-4, (hi, res_wtr)
+
+
+def test_rtparam_thin_ice_limit():
+    """h->0: waves barely notice the ice (modT->1, int_adm->1, ac->0)."""
+    out = rtparam.rtparam_outer(
+        jnp.asarray([0.05]), 2 * np.pi / 18.0, 0.0, jnp.asarray([(2 * np.pi / 18) ** 2 / 9.81])
+    )
+    assert float(out["modT"][0]) > 0.99
+    assert abs(float(out["int_adm"][0]) - 1.0) < 0.02
+    assert float(out["atten_nond"][0]) < 1e-3
+    assert np.isclose(float(out["kice"][0]), float(out["kwtr"][0]), rtol=0.01)
+
+
+def test_rtparam_attenuation_monotone_in_thickness():
+    h = jnp.linspace(0.2, 4.0, 30)
+    om = 2 * np.pi / 9.0
+    out = rtparam.rtparam_outer(h, om, 13.0, jnp.full_like(h, om**2 / 9.81))
+    ac = np.asarray(out["atten_nond"])
+    assert np.all(np.isfinite(ac)) and np.all(ac > 0)
+    assert np.all(np.diff(ac) > 0)  # thicker ice scatters more
+    assert np.all(np.asarray(out["damping"]) > 0)
+
+
+# ---------------------------------------------------------------------------
+# Spectral setup
+# ---------------------------------------------------------------------------
+
+
+def test_theta_dir_frac_normalises():
+    """cos^2 spreading integrates to 1 over the full circle
+    (thetaDirFrac, wimdiscr.cpp:2499-2538)."""
+    for mwd in [-90.0, 0.0, 37.0, 200.0]:
+        n = 16
+        dtheta = 360.0 / n
+        tot = sum(
+            float(theta_dir_frac(jnp.asarray(90.0 - (k + 0.5) * dtheta), jnp.asarray(dtheta), jnp.asarray(mwd)))
+            for k in range(n)
+        )
+        assert tot == pytest.approx(1.0, abs=1e-5)
+
+
+def test_incident_spectrum_recovers_hs():
+    """4*sqrt(m0) of the discretised Bretschneider x cos^2 spectrum ~ Hs
+    (setIncWaveSpec, wimdiscr.cpp:668-757)."""
+    p = WimParams(nwavefreq=25, nwavedirn=16)
+    sg = spectral_grids(p)
+    hs = jnp.full((4, 4), 3.0)
+    tp = jnp.full((4, 4), 12.0)
+    mwd = jnp.full((4, 4), -90.0)
+    sdf = inc_wave_spec(hs, tp, mwd, jnp.ones((4, 4)), sg, p)
+    m0 = np.einsum("f,d,fdyx->yx", sg["wt_freq"], sg["wt_dir"], np.asarray(sdf))
+    np.testing.assert_allclose(4 * np.sqrt(m0), 3.0, rtol=0.03)
+
+
+def test_simpson_weights():
+    p = WimParams(nwavefreq=25)
+    sg = spectral_grids(p)
+    # Simpson weights integrate a cubic exactly over the omega range
+    om = 2 * np.pi * sg["freq"]
+    exact = (om[-1] ** 4 - om[0] ** 4) / 4.0
+    np.testing.assert_allclose(np.sum(sg["wt_freq"] * om**3), exact, rtol=1e-6)
+
+
+def test_dave_power_law_smooth():
+    p = WimParams()
+    d = jnp.asarray([10.0, 50.0, 150.0, 250.0, 300.0])
+    dave = np.asarray(dave_from_dfloe(d, jnp.ones_like(d), p))
+    # below dmin -> dmin; above miz threshold -> dmax itself
+    assert dave[0] == pytest.approx(p.dmin)
+    assert dave[3] == pytest.approx(250.0)
+    assert dave[4] == pytest.approx(300.0)
+    # in the MIZ the mean is well below Dmax (power-law tail of small floes)
+    assert p.dmin < dave[1] < 50.0 and p.dmin < dave[2] < 150.0
+
+
+def test_dave_rg_matches_reference_recursion():
+    """Closed-form RG cascade == the reference's explicit loop
+    (floeScaling, iceinfo.cpp:277-325)."""
+    p = WimParams(fsdopt="RG")
+
+    def ref_floe_scaling(dmax, moment=1):
+        ffac = p.fragility * p.xi**2
+        dave = max(p.dmin**moment, dmax**moment)
+        if dmax >= p.xi * p.dmin:
+            r = dmax / p.dmin
+            mm = 0
+            while r >= p.xi:
+                r /= p.xi
+                mm += 1
+            if mm > 0:
+                nm1, dm, nsum, ndsum = 1.0, dmax, 0.0, 0.0
+                for _ in range(mm):
+                    nm = nm1 * (1 - p.fragility)
+                    nsum += nm
+                    ndsum += nm * dm**moment
+                    nm1 *= ffac
+                    dm /= p.xi
+                nsum += nm1
+                ndsum += nm1 * dm**moment
+                dave = ndsum / nsum
+        return dave
+
+    dmax = np.asarray([15.0, 45.0, 80.0, 120.0, 199.0])
+    got = np.asarray(dave_from_dfloe(jnp.asarray(dmax), jnp.ones(5), p))
+    want = np.asarray([ref_floe_scaling(d) for d in dmax])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# WENO advection
+# ---------------------------------------------------------------------------
+
+
+def test_weno_conserves_and_translates():
+    ny, nx, dx = 16, 64, 4e3
+    x = np.arange(nx) * dx
+    h0 = np.exp(-((x - 16 * dx) ** 2) / (2 * (4 * dx) ** 2))
+    h = jnp.asarray(np.broadcast_to(h0, (ny, nx)).copy())
+    u = jnp.full((ny, nx), 10.0)
+    v = jnp.zeros((ny, nx))
+    land = jnp.zeros((ny, nx))
+    dt = 0.5 * dx / 10.0
+    steps = 40
+    for _ in range(steps):
+        h = weno_advect(h, u, v, dt, dx, dx, land, "xy-periodic")
+    h = np.asarray(h)
+    # conservation on the periodic domain
+    np.testing.assert_allclose(h.sum(), ny * h0.sum(), rtol=1e-5)
+    # peak moved by u*t
+    shift_cells = int(round(10.0 * dt * steps / dx))
+    assert abs(int(np.argmax(h[8])) - (16 + shift_cells)) <= 1
+    # limiter keeps it positive and non-amplifying
+    assert h.min() > -1e-8 and h.max() <= 1.0 + 1e-6
+
+
+def test_weno_constant_preserved():
+    h = jnp.full((8, 32), 2.5)
+    u = jnp.full((8, 32), 7.0)
+    v = jnp.full((8, 32), -3.0)
+    out = weno_advect(h, u, v, 100.0, 4e3, 4e3, jnp.zeros((8, 32)), "xy-periodic")
+    np.testing.assert_allclose(np.asarray(out), 2.5, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Ideal MIZ run (the reference's canonical WIM setup)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ideal_run():
+    p = WimParams(nwavefreq=25, nwavedirn=16, steady=True)
+    w = Wim(p, StripGrid())
+    w.ideal_ice_fields(0.7)
+    w.ideal_wave_fields(0.8)
+    diag = w.run(43200.0)  # wimsetup.duration default: 12 h
+    return w, diag
+
+
+def test_ideal_run_attenuation_profile(ideal_run):
+    w, diag = ideal_run
+    hs = np.asarray(diag["hs"])
+    mask = np.asarray(w.ice["mask"])
+    assert np.all(np.isfinite(hs))
+    row = 6
+    ice_cols = np.where(mask[row] > 0)[0]
+    h_ice = hs[row, ice_cols]
+    # waves decay monotonically into the ice and are strongly attenuated
+    assert np.all(np.diff(h_ice) <= 1e-3)
+    assert h_ice[0] > 10 * h_ice[-1]
+    # incident zone keeps O(Hs_inc) waves under steady forcing
+    wave_zone = hs[row, :12]
+    assert wave_zone.max() > 0.8 * w.p.hs_inc
+
+
+def test_ideal_run_miz_breaking(ideal_run):
+    w, diag = ideal_run
+    mask = np.asarray(w.ice["mask"])
+    dmax = np.asarray(w.ice["dfloe"])
+    broken = np.asarray(w.ice["broken"])
+    row = 6
+    ice_cols = np.where(mask[row] > 0)[0]
+    d = dmax[row, ice_cols]
+    b = broken[row, ice_cols]
+    # a contiguous broken MIZ band at the ice edge, unbroken pack beyond
+    assert b[0] == 1.0 and b[-1] == 0.0
+    edge = np.where(b > 0)[0]
+    assert len(edge) >= 3 and np.all(np.diff(edge) == 1)
+    assert np.all(d[b > 0] < w.p.dfloe_pack_init)
+    assert np.all(d[b > 0] >= w.p.dmin)
+    np.testing.assert_allclose(d[b == 0], w.p.dfloe_pack_init)
+    # nfloes consistent with dfloe where broken
+    nf = np.asarray(w.ice["nfloes"])[row, ice_cols]
+    conc = np.asarray(w.ice["conc"])[row, ice_cols]
+    np.testing.assert_allclose(
+        nf[b > 0], conc[b > 0] / d[b > 0] ** 2, rtol=1e-5
+    )
+
+
+def test_ideal_run_wave_stress(ideal_run):
+    w, diag = ideal_run
+    tau_x = np.asarray(diag["tau_x"])
+    mask = np.asarray(w.ice["mask"])
+    # stress is exerted where waves attenuate (the MIZ), directed +x
+    assert tau_x.max() > 1e-4
+    assert np.argmax(tau_x[6]) >= np.where(mask[6] > 0)[0][0]
+    # no stress in open water or deep pack (no wave energy left)
+    assert abs(tau_x[6, 2]) < 1e-8
+
+
+def test_wim_run_is_deterministic():
+    p = WimParams(nwavefreq=3, nwavedirn=8)
+    outs = []
+    for _ in range(2):
+        w = Wim(p, StripGrid(nx=40, ny=6))
+        w.ideal_ice_fields(0.7)
+        w.ideal_wave_fields(0.8)
+        d = w.run(3600.0)
+        outs.append(np.asarray(d["hs"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# Simulator coupling
+# ---------------------------------------------------------------------------
+
+
+def test_simulator_wim_coupling(tmp_path):
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    cfg = Config(
+        {
+            "simul.time_init": "2008-03-01",
+            "simul.duration": 1.0,
+            "simul.timestep": 900,
+            "simul.spinup_duration": 0.0,
+            "grid.preset": "square",
+            "grid.nx": 40,
+            "grid.ny": 16,
+            "grid.resolution": 4e3,
+            "setup.ice-type": "constant_partial",
+            "setup.atmosphere-type": "constant",
+            "setup.ocean-type": "constant",
+            "setup.dynamics-type": "bbm",
+            "thermo.use_thermo_forcing": False,
+            "nextwim.use_wim": True,
+            "nextwim.couplingfreq": 2,
+            "wimsetup.nwavefreq": 5,
+            "wimsetup.nwavedirn": 8,
+            "wim.steady": False,
+            "output.exporter_path": str(tmp_path),
+            "ideal_simul.constant_wind_u": 5.0,
+            "ideal_simul.constant_wind_v": 0.0,
+        }
+    )
+    sim = Simulator(cfg)
+    dmg0 = np.asarray(sim.state.damage).copy()
+    for _ in range(3):
+        sim.step()
+    assert sim.wim_diag is not None
+    hs = np.asarray(sim.wim_diag["hs"])
+    assert np.all(np.isfinite(hs))
+    # wave stress harvested and fed to the momentum solver as nodal fields
+    assert sim._wim_stress is not None
+    assert sim._wim_stress[0].shape == (17, 41)
+    # damage raised where floes broke (wim_damage_mesh default)
+    dmg = np.asarray(sim.state.damage)
+    broken = np.asarray(sim.wim.ice["broken"])
+    if broken.any():
+        assert dmg[broken > 0].min() >= cfg["nextwim.wim_damage_value"] - 1e-6
+    assert np.all(np.isfinite(np.asarray(sim.state.vt_u)))
