@@ -401,6 +401,76 @@ def weno_advect(h, u, v, dt, dx: float, dy: float, land_mask, advopt: str,
 
 
 # ---------------------------------------------------------------------------
+# Attenuation (attenSimple / attenIsotropic, wimdiscr.cpp:2249-2494)
+# ---------------------------------------------------------------------------
+
+
+def attenuate_spectrum(s_fq, ag, atten_dim, damp_dim, imask, dfloe, cos_d,
+                       sin_d, wt_dir, dt_wim, p: WimParams):
+    """Attenuate one frequency's directional spectrum and form the direction
+    integrals. Returns (s_new, taux_om, tauy_om, sfreq, sdx_om, sdy_om).
+
+    scatmod='dissipated' (attenSimple, wimdiscr.cpp:2249-2324): scattered
+    energy is lost; every direction decays with the total coefficient.
+
+    scatmod='isotropic' (attenIsotropic, wimdiscr.cpp:2328-2494): scattered
+    energy is redistributed isotropically — in directional Fourier space the
+    mean (mode 0) decays only by damping while every higher mode decays by
+    scattering + damping. NOTE the reference's implementation declares but
+    never fills its `theta_vec`/`nvec` angle arrays (wimdiscr.cpp:2334-2339,
+    all zeros), collapsing its transform; here the intended Fourier-mode
+    evolution is implemented exactly (one FFT over the direction axis), with
+    the same q_scat/q_abs split: floes smaller than dfloe_pack_init scatter,
+    pack ice only absorbs (wimdiscr.cpp:2368-2378). Stress and Stokes-drift
+    integrals are only formed inside ice in this mode, as in the reference.
+    """
+    in_ice = imask[None] > 0.5
+    if not p.atten:
+        taux_om = tauy_om = jnp.zeros_like(ag)
+    elif p.scatmod == "isotropic":
+        ndir = s_fq.shape[0]
+        wt = 2 * PI / ndir
+        scattering = dfloe < p.dfloe_pack_init
+        q_scat = jnp.where(scattering, atten_dim, 0.0)
+        q_abs = jnp.where(scattering, damp_dim, atten_dim + damp_dim)
+        q_tot = q_scat + q_abs
+        fft_s = jnp.fft.fft(s_fq, axis=0)
+        # true mode-1 coefficient on the theta grid (theta_d = -pi + 2pi d/N
+        # from adv_dir, so F[1] = -wt*FFT[1])
+        f1 = -wt * fft_s[1]
+        taux_om = jnp.where(imask > 0.5, q_tot * ag * jnp.real(f1), 0.0)
+        tauy_om = jnp.where(imask > 0.5, -q_tot * ag * jnp.imag(f1), 0.0)
+        n0 = jnp.arange(ndir) == 0
+        decay = jnp.where(
+            n0[:, None, None],
+            jnp.exp(-q_abs * ag * dt_wim)[None],
+            jnp.exp(-q_tot * ag * dt_wim)[None],
+        )
+        s_dec = jnp.real(jnp.fft.ifft(fft_s * decay, axis=0))
+        s_fq = jnp.where(in_ice, s_dec.astype(s_fq.dtype), s_fq)
+    else:  # dissipated
+        alp = (atten_dim + damp_dim)[None]
+        src = -alp * ag[None] * s_fq
+        taux_om = jnp.sum(
+            jnp.where(in_ice, -cos_d[:, None, None] * wt_dir[:, None, None] * src, 0.0),
+            axis=0,
+        )
+        tauy_om = jnp.sum(
+            jnp.where(in_ice, -sin_d[:, None, None] * wt_dir[:, None, None] * src, 0.0),
+            axis=0,
+        )
+        s_fq = jnp.where(in_ice, s_fq * jnp.exp(-alp * ag[None] * dt_wim), s_fq)
+
+    sfreq = jnp.einsum("d,dyx->yx", wt_dir, s_fq)
+    sdx_om = jnp.einsum("d,dyx->yx", wt_dir * cos_d, s_fq)
+    sdy_om = jnp.einsum("d,dyx->yx", wt_dir * sin_d, s_fq)
+    if p.atten and p.scatmod == "isotropic":
+        sdx_om = jnp.where(imask > 0.5, sdx_om, 0.0)
+        sdy_om = jnp.where(imask > 0.5, sdy_om, 0.0)
+    return s_fq, taux_om, tauy_om, sfreq, sdx_om, sdy_om
+
+
+# ---------------------------------------------------------------------------
 # One WIM time step (wimdiscr.cpp:822-1210)
 # ---------------------------------------------------------------------------
 
@@ -456,26 +526,11 @@ def wim_time_step(sdf, ice: Dict[str, Any], medium, sg_dev, p: WimParams,
 
         s_fq = jax.vmap(adv_one, in_axes=(0, 0, 0))(s_fq, cos_d, sin_d)
 
-        # attenuation + direction integrals (attenSimple)
-        if p.atten:
-            alp = (atten_dim + damp_dim)[None]
-            src = -alp * ag[None] * s_fq  # (ndir, ny, nx)
-            in_ice = imask[None] > 0.5
-            taux_om = jnp.sum(
-                jnp.where(in_ice, -cos_d[:, None, None] * wt_dir[:, None, None] * src, 0.0),
-                axis=0,
-            )
-            tauy_om = jnp.sum(
-                jnp.where(in_ice, -sin_d[:, None, None] * wt_dir[:, None, None] * src, 0.0),
-                axis=0,
-            )
-            s_fq = jnp.where(in_ice, s_fq * jnp.exp(-alp * ag[None] * dt_wim), s_fq)
-        else:
-            taux_om = tauy_om = jnp.zeros_like(conc)
-
-        sfreq = jnp.einsum("d,dyx->yx", wt_dir, s_fq)
-        sdx_om = jnp.einsum("d,dyx->yx", wt_dir * cos_d, s_fq)
-        sdy_om = jnp.einsum("d,dyx->yx", wt_dir * sin_d, s_fq)
+        # attenuation + direction integrals (attenSimple / attenIsotropic)
+        s_fq, taux_om, tauy_om, sfreq, sdx_om, sdy_om = attenuate_spectrum(
+            s_fq, ag, atten_dim, damp_dim, imask, ice["dfloe"], cos_d, sin_d,
+            wt_dir, dt_wim, p,
+        )
 
         # frequency integrals (wimdiscr.cpp:989-1070)
         acc = dict(

@@ -323,3 +323,85 @@ def test_simulator_wim_coupling(tmp_path):
     if broken.any():
         assert dmg[broken > 0].min() >= cfg["nextwim.wim_damage_value"] - 1e-6
     assert np.all(np.isfinite(np.asarray(sim.state.vt_u)))
+
+
+# ---------------------------------------------------------------------------
+# Isotropic scattering mode
+# ---------------------------------------------------------------------------
+
+
+def test_isotropic_scattering_conserves_energy():
+    """Pure scattering (no damping): mode 0 of the directional spectrum is
+    invariant, so the frequency spectrum is conserved while the directional
+    distribution isotropises (intended attenIsotropic physics)."""
+    from nextsim_tpu.wim.wim import attenuate_spectrum
+
+    p = WimParams(scatmod="isotropic", nwavedirn=16)
+    sg = spectral_grids(p)
+    ny, nx = 4, 4
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.uniform(0.1, 1.0, (16, ny, nx)))
+    ag = jnp.full((ny, nx), 9.0)
+    atten = jnp.full((ny, nx), 2e-4)
+    damp = jnp.zeros((ny, nx))
+    imask = jnp.ones((ny, nx))
+    dfloe = jnp.full((ny, nx), 100.0)  # < dfloe_pack_init -> scattering
+    cos_d = jnp.cos(jnp.asarray(sg["adv_dir"]))
+    sin_d = jnp.sin(jnp.asarray(sg["adv_dir"]))
+    wt_dir = jnp.asarray(sg["wt_dir"])
+    sfreq0 = np.einsum("d,dyx->yx", np.asarray(wt_dir), np.asarray(s))
+    s1, taux, tauy, sfreq, sdx, sdy = attenuate_spectrum(
+        s, ag, atten, damp, imask, dfloe, cos_d, sin_d, wt_dir, 500.0, p
+    )
+    np.testing.assert_allclose(np.asarray(sfreq), sfreq0, rtol=1e-5)
+    # anisotropy (mode-1 magnitude) strictly decreased
+    m1_0 = np.abs(np.fft.fft(np.asarray(s), axis=0)[1])
+    m1_1 = np.abs(np.fft.fft(np.asarray(s1), axis=0)[1])
+    assert np.all(m1_1 < m1_0)
+    # momentum lost by the directional flux appears as ice stress
+    assert np.all(np.isfinite(np.asarray(taux)))
+
+
+def test_isotropic_pack_only_absorbs():
+    """Unbroken pack (dfloe >= dfloe_pack_init): all attenuation is
+    absorption -> every mode (and the energy) decays at the same rate
+    (wimdiscr.cpp:2373-2378)."""
+    from nextsim_tpu.wim.wim import attenuate_spectrum
+
+    p = WimParams(scatmod="isotropic", nwavedirn=8)
+    sg = spectral_grids(p)
+    s = jnp.full((8, 2, 2), 1.0)
+    ag = jnp.full((2, 2), 9.0)
+    atten = jnp.full((2, 2), 1e-4)
+    damp = jnp.full((2, 2), 5e-5)
+    dfloe = jnp.full((2, 2), 300.0)  # pack
+    cos_d = jnp.cos(jnp.asarray(sg["adv_dir"]))
+    sin_d = jnp.sin(jnp.asarray(sg["adv_dir"]))
+    s1, *_ , sfreq, _, _ = attenuate_spectrum(
+        s, ag, atten, damp, jnp.ones((2, 2)), dfloe, cos_d, sin_d,
+        jnp.asarray(sg["wt_dir"]), 500.0, p
+    )
+    expect = np.exp(-(1e-4 + 5e-5) * 9.0 * 500.0)
+    np.testing.assert_allclose(np.asarray(s1), expect, rtol=1e-5)
+
+
+def test_isotropic_matches_dissipated_stress_convention():
+    """For an almost-isotropic spectrum both modes produce stresses with the
+    same sign convention (x-propagating excess -> +x stress on the ice)."""
+    from nextsim_tpu.wim.wim import attenuate_spectrum
+
+    sg = spectral_grids(WimParams(nwavedirn=16))
+    cos_d = jnp.cos(jnp.asarray(sg["adv_dir"]))
+    sin_d = jnp.sin(jnp.asarray(sg["adv_dir"]))
+    wt_dir = jnp.asarray(sg["wt_dir"])
+    # spectrum with +x excess
+    s = jnp.asarray(1.0 + 0.5 * np.cos(sg["adv_dir"]))[:, None, None] * jnp.ones((16, 2, 2))
+    args = (jnp.full((2, 2), 9.0), jnp.full((2, 2), 2e-4), jnp.zeros((2, 2)),
+            jnp.ones((2, 2)), jnp.full((2, 2), 100.0), cos_d, sin_d, wt_dir, 100.0)
+    _, tx_iso, ty_iso, *_ = attenuate_spectrum(s, *args, WimParams(scatmod="isotropic", nwavedirn=16))
+    _, tx_dis, ty_dis, *_ = attenuate_spectrum(s, *args, WimParams(scatmod="dissipated", nwavedirn=16))
+    assert float(tx_iso[0, 0]) > 0 and float(tx_dis[0, 0]) > 0
+    np.testing.assert_allclose(np.asarray(ty_iso), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ty_dis), 0.0, atol=1e-8)
+    # identical total attenuation coefficient -> same mode-1 sink -> same stress
+    np.testing.assert_allclose(np.asarray(tx_iso), np.asarray(tx_dis), rtol=1e-5)
