@@ -146,6 +146,9 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     "output.datetime_in_filename": (bool, True),
     "output.exporter_path": (str, "nextsim_outputs"),
     "output.exporter_precision": (str, "float"),
+    # snapshot container: npz+json manifest (native) or the reference's
+    # binary .bin/.dat Exporter format (core/src/exporter.cpp)
+    "output.format": (str, "npz"),
     "output.variables": (
         _LIST,
         [
@@ -386,6 +389,7 @@ ENUMS: Dict[str, List[str]] = {
     "grid.boundary": ["closed", "open"],
     "numerics.advection_scheme": ["upwind", "upwind2"],
     "output.exporter_precision": ["float", "double"],
+    "output.format": ["npz", "reference"],
     "moorings.file_length": ["inf", "daily", "weekly", "monthly", "yearly"],
     "tpu.dtype": ["float32", "bfloat16", "float64"],
     "wim.scatmod": ["dissipated", "isotropic"],

@@ -50,7 +50,17 @@ def export_snapshot(sim, name: Optional[str] = None) -> str:
             name = dates.datenum_to_string(sim.current_time)
         else:
             name = str(sim.pcpt)
+    if cfg["output.format"] == "reference":
+        # reference binary Exporter format (core/src/exporter.cpp), honoring
+        # output.exporter_precision (exporter.hpp float/double records)
+        from nextsim_tpu.output import ref_binary
+
+        return ref_binary.write_state(
+            sim, name, precision=cfg["output.exporter_precision"]
+        )
     arrays = state_to_arrays(sim.state)
+    if cfg["output.exporter_precision"] == "double":
+        arrays = {k: np.asarray(v, np.float64) for k, v in arrays.items()}
 
     # variable selection by reference export name
     selected = set(cfg["output.variables"])

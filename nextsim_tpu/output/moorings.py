@@ -168,12 +168,15 @@ class Moorings:
             # (the analog of ConservativeRemappingMeshToGrid,
             # contrib/bamg/src/ConservativeRemapping.cpp), bilinear otherwise
             ratio = self.spacing / grid.dx
-            conservative = (
-                cfg["moorings.use_conservative_remapping"]
-                or abs(ratio - round(ratio)) < 1e-9
-            ) and abs(ratio - round(ratio)) < 1e-9 and round(ratio) >= 1
-            if conservative:
+            int_ratio = abs(ratio - round(ratio)) < 1e-9 and round(ratio) >= 1
+            if int_ratio:
                 self._cell_interp = _MeanPool(grid.shape, int(round(ratio)), self.out_shape)
+            elif cfg["moorings.use_conservative_remapping"]:
+                # exactly conservative for any spacing ratio
+                self._cell_interp = _OverlapRemap(
+                    grid.x0, grid.y0, grid.dx, grid.shape,
+                    self.xo, self.yo, self.spacing,
+                )
             else:
                 self._cell_interp = _BilinearSampler(
                     grid.x0 + 0.5 * grid.dx, grid.y0 + 0.5 * grid.dx, grid.dx,
@@ -357,6 +360,34 @@ class _PointSampler:
             + f[self.j1, self.i0] * (1 - self.wx) * self.wy
             + f[self.j1, self.i1] * self.wx * self.wy
         )
+
+
+class _OverlapRemap:
+    """Exactly-conservative area-weighted remap between axis-aligned regular
+    grids with an arbitrary spacing ratio (the structured-grid analog of
+    ConservativeRemappingMeshToGrid, contrib/bamg/src/ConservativeRemapping.cpp:
+    polygon-intersection weights; for two axis-aligned grids the overlap
+    areas factor into two 1-D overlap matrices, so the remap is two small
+    matmuls normalised by the covered area)."""
+
+    def __init__(self, src_x0, src_y0, src_dx, src_shape, out_x, out_y, spacing):
+        ny, nx = src_shape
+
+        def overlap(src0, n, out_centres):
+            src_lo = src0 + np.arange(n) * src_dx
+            out_lo = np.asarray(out_centres) - 0.5 * spacing
+            lo = np.maximum(out_lo[:, None], src_lo[None, :])
+            hi = np.minimum(out_lo[:, None] + spacing, src_lo[None, :] + src_dx)
+            return np.maximum(hi - lo, 0.0) / spacing
+
+        self.wx = overlap(src_x0, nx, out_x)  # (nxo, nx)
+        self.wy = overlap(src_y0, ny, out_y)  # (nyo, ny)
+        self.denom = np.maximum(
+            self.wy @ np.ones(src_shape) @ self.wx.T, 1e-12
+        )
+
+    def __call__(self, field: np.ndarray) -> np.ndarray:
+        return (self.wy @ np.asarray(field) @ self.wx.T) / self.denom
 
 
 class _MeanPool:

@@ -277,3 +277,93 @@ def test_simulator_drifters_move_with_ut(tmp_path):
     moved = d.x - x0
     assert moved.max() > 1.0  # meters
     assert len(d.records) >= 2
+
+
+def test_overlap_remap_conserves_noninteger_ratio():
+    """Arbitrary-ratio conservative remap (ConservativeRemappingMeshToGrid
+    analog) conserves the area integral and reproduces constants."""
+    from nextsim_tpu.output.moorings import _OverlapRemap
+
+    rng = np.random.default_rng(3)
+    ny, nx, dx = 20, 30, 10e3
+    spacing = 15e3  # ratio 1.5: not an integer multiple
+    nxo = int(nx * dx // spacing)
+    nyo = int(ny * dx // spacing)
+    xo = (np.arange(nxo) + 0.5) * spacing
+    yo = (np.arange(nyo) + 0.5) * spacing
+    rm = _OverlapRemap(0.0, 0.0, dx, (ny, nx), xo, yo, spacing)
+    f = rng.uniform(0, 1, (ny, nx))
+    out = rm(f)
+    # constants are reproduced exactly
+    np.testing.assert_allclose(rm(np.ones((ny, nx))), 1.0, rtol=1e-12)
+    # integral over the covered region is conserved:
+    # sum(out * spacing^2 * covered_frac) == sum over covered source area
+    covered = rm.denom * spacing**2
+    src_int = (rm.wy @ f @ rm.wx.T) * spacing**2
+    np.testing.assert_allclose((out * covered).sum(), src_int.sum(), rtol=1e-12)
+    # and values stay within the source range (it's an average)
+    assert out.min() >= f.min() - 1e-12 and out.max() <= f.max() + 1e-12
+
+
+def test_moorings_conservative_noninteger_spacing(tmp_path):
+    """moorings.use_conservative_remapping with a non-integer spacing ratio
+    routes through the overlap remap and writes sane fields."""
+    cfg = toy_cfg(
+        tmp_path,
+        **{
+            "moorings.spacing": 15.0,  # 1.5x the 10 km model grid
+            "moorings.use_conservative_remapping": True,
+        },
+    )
+    sim = Simulator(cfg)
+    from nextsim_tpu.output.moorings import _OverlapRemap
+
+    assert isinstance(sim.moorings._cell_interp, _OverlapRemap)
+    for _ in range(2):
+        sim.step()
+    files = [f for f in os.listdir(tmp_path) if f.startswith("Moorings")]
+    from scipy.io import netcdf_file
+
+    with netcdf_file(os.path.join(tmp_path, files[0]), "r") as nc:
+        sic = nc.variables["sic"][:].copy()
+        assert np.nanmax(sic) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_exporter_precision_and_reference_format(tmp_path):
+    """output.exporter_precision=double doubles the npz payload;
+    output.format=reference writes the binary .bin/.dat Exporter pair."""
+    cfg = toy_cfg(
+        tmp_path,
+        **{
+            "moorings.use_moorings": False,
+            "output.output_per_day": -1,
+            "output.exporter_precision": "double",
+        },
+    )
+    sim = Simulator(cfg)
+    sim.step()
+    npz = [f for f in os.listdir(tmp_path) if f.endswith(".npz")][0]
+    with np.load(os.path.join(tmp_path, npz)) as d:
+        assert d["conc"].dtype == np.float64
+
+    cfg2 = toy_cfg(
+        tmp_path / "ref",
+        **{
+            "moorings.use_moorings": False,
+            "output.output_per_day": -1,
+            "output.format": "reference",
+            "output.exporter_precision": "double",
+        },
+    )
+    sim2 = Simulator(cfg2)
+    sim2.step()
+    outdir = str(tmp_path / "ref")
+    bins = [f for f in os.listdir(outdir) if f.endswith(".bin")]
+    assert bins, os.listdir(outdir)
+    from nextsim_tpu.output import ref_binary
+
+    base = os.path.join(outdir, bins[0][:-4])
+    recs = ref_binary.read_file(base)
+    assert "Concentration" in recs
+    assert recs["Concentration"].dtype == np.float64
+    np.testing.assert_allclose(recs["Concentration"].max(), 1.0, rtol=1e-6)
