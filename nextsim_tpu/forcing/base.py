@@ -63,6 +63,10 @@ class Forcing:
     tau_wi_u: Optional[Any]  # wave-to-ice stress at nodes [N/m2]
     tau_wi_v: Optional[Any]
     wlbk: Optional[Any]  # wave breaking probability (FSD)
+    # --- wave forcing for the WIM (reference: ww3a/erai_waves datasets) ---
+    swh: Optional[Any] = None  # significant wave height [m]
+    mwp: Optional[Any] = None  # peak/mean wave period [s]
+    mwd: Optional[Any] = None  # wave-from direction [deg]
 
     def replace(self, **kw) -> "Forcing":
         return dataclasses.replace(self, **kw)

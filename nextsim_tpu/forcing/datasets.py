@@ -41,6 +41,10 @@ class DataVar:
     a: float = 1.0  # unit transform: value*a + b (dataset.hpp:81-111)
     b: float = 0.0
     var_string: Optional[str] = None  # ${VARSTRING} in per-variable files
+    # 'inv': 1/x after scaling (wave peak frequency -> period);
+    # 'wave_dir_from': angle in degrees interpolated via its unit components
+    # (the reference's wavDirOptions x/yComponent pair, dataset.hpp:87-96)
+    transform: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +69,13 @@ class DatasetSpec:
     nodal_targets: Tuple[str, ...] = ()  # targets sampled at nodes
     reference_date: str = "1900-01-01"
     time_name: str = "time"
+    # vectors already on the source grid's axes rather than east/north
+    # (the reference's east_west_oriented=false, dataset.hpp:117): rotated by
+    # the local grid-axis angle instead of the meridian convergence
+    grid_oriented_vectors: bool = False
+    # extra record dimension selecting the ensemble member (reference:
+    # externaldata.cpp:852-858 'ensemble_member')
+    member_dim: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------
@@ -301,10 +312,105 @@ _register(DatasetSpec(
     grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
     variables=(DataVar("icethk", "obs_thick", a=0.01),),  # cm -> m
 ))
-# NB: the reference's standalone wave datasets (ww3a, erai_waves) feed only
-# the WAVES/WIM module, which operationally is superseded by OASIS-WW3
-# coupling (SURVEY.md §2.6); wave fields (wlbk, wave stress) enter through
-# the coupling exchange here (coupling/exchange.py), matching that setup.
+# AROME-blended ECMWF NRT atmosphere (reference: dataset.cpp:925-1354
+# ecmwf_nrt_arome_{nodes,elements}): daily curvilinear 2.5 km files; winds
+# are oriented along the source grid axes (east_west_oriented=false)
+_register(DatasetSpec(
+    name="ecmwf_nrt_arome",
+    filename_mask="ecmwf_nrt_arome_blended_%Y%m%d.nc",
+    frequency="daily",
+    reference_date="1970-01-01",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(
+        DataVar("x_wind_10m", "wind_u"),
+        DataVar("y_wind_10m", "wind_v"),
+        DataVar("air_temperature_2m", "tair", b=-273.15),
+        DataVar("specific_humidity_2m", "sphuma"),
+        DataVar("air_pressure_at_sea_level", "mslp"),
+        DataVar("integral_of_surface_downwelling_shortwave_flux_in_air_wrt_time",
+                "qsw_in", a=1.0 / 3600.0),  # 1h-integrated -> rate
+        DataVar("integral_of_surface_downwelling_longwave_flux_in_air_wrt_time",
+                "qlw_in", a=1.0 / 3600.0),
+        DataVar("integral_of_snowfall_amount_wrt_time", "snowfall", a=1.0 / 3600.0),
+        DataVar("precipitation_amount_acc", "precip", a=1.0 / 3600.0),
+    ),
+    vectors=(("wind_u", "wind_v"),),
+    nodal_targets=("wind_u", "wind_v"),
+    grid_oriented_vectors=True,
+))
+# ensemble variant (dataset.cpp:1354-1916): same fields with an extra
+# ensemble_member record dimension selected by statevector.ensemble_member
+_register(dataclasses.replace(
+    REGISTRY["ecmwf_nrt_arome"],
+    name="ecmwf_nrt_arome_ensemble",
+    filename_mask="ecmwf_nrt_arome_blended_ensemble_%Y%m%d.nc",
+    member_dim="ensemble_member",
+))
+# CFSR high-resolution winds (dataset.cpp:8392-8575 cfsr_nodes_hi): monthly
+# files carrying only the 10 m wind; thermo fields come from regular cfsr
+_register(DatasetSpec(
+    name="cfsr_hi",
+    filename_mask="cfsr_h.sh.%Y%m.nc",
+    frequency="monthly",
+    time_name="time0",
+    grid=GridSpec(kind="regular_latlon", lat_name="lat", lon_name="lon", cyclic_lon=True),
+    variables=(
+        DataVar("U_GRD_L103", "wind_u"),
+        DataVar("V_GRD_L103", "wind_v"),
+    ),
+    vectors=(("wind_u", "wind_v"),),
+    nodal_targets=("wind_u", "wind_v"),
+))
+# TOPAZ5 NRT ocean (dataset.cpp:5044-5500 topaz5_nrt_{nodes,elements}):
+# daily files, vxo/vyo current names (vs uo/vo in topaz4_nrt)
+_register(DatasetSpec(
+    name="topaz5_nrt",
+    filename_mask="topaz_nrt_%Y%m%d.nc",
+    frequency="daily",
+    reference_date="1970-01-01",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(
+        DataVar("vxo", "ocean_u"),
+        DataVar("vyo", "ocean_v"),
+        DataVar("zos", "ssh"),
+        DataVar("thetao", "ocean_temp"),
+        DataVar("so", "ocean_salt"),
+        DataVar("mlotst", "mld"),
+        DataVar("siconc", "obs_conc"),
+        DataVar("sithick", "obs_thick"),
+        DataVar("sisnthick", "obs_snow"),
+    ),
+    vectors=(("ocean_u", "ocean_v"),),
+    nodal_targets=("ocean_u", "ocean_v", "ssh"),
+))
+# Standalone wave forcing for the WIM (dataset.cpp:9469-9735 ww3a_elements,
+# erai_waves_1deg_elements). Operationally wave fields ride the OASIS-WW3
+# coupling exchange (coupling/exchange.py); these files drive the WIM when
+# wimsetup.wave-type selects them. Directions interpolate via their unit
+# components (wavDirOptions x/yComponent); ww3a's peak frequency converts
+# to a period.
+_register(DatasetSpec(
+    name="ww3a",
+    filename_mask="SWARP_WW3_ARCTIC-12K_%Y%m%d.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(
+        DataVar("hs", "swh"),
+        DataVar("fp", "mwp", transform="inv"),  # peak frequency -> period
+        DataVar("dir", "mwd", transform="wave_dir_from"),
+    ),
+))
+_register(DatasetSpec(
+    name="erai_waves_1deg",
+    filename_mask="erai_waves_1deg_%Y.nc",
+    frequency="yearly",
+    grid=GridSpec(kind="regular_latlon", lat_name="latitude", lon_name="longitude", cyclic_lon=True),
+    variables=(
+        DataVar("swh", "swh"),
+        DataVar("mwp", "mwp"),
+        DataVar("mwd", "mwd", transform="wave_dir_from"),
+    ),
+))
 _register(DatasetSpec(
     name="dist2coast",
     filename_mask="dist2coast_4deg.nc",
@@ -552,26 +658,39 @@ class DatasetForcing:
 
         atm = cfg["setup.atmosphere-type"]
         ocn = cfg["setup.ocean-type"]
+        member = cfg["statevector.ensemble_member"]
+        # atmosphere-type -> dataset stack (later readers override earlier
+        # fields; cfsr_hi layers hi-res winds over the regular cfsr thermo
+        # fields, matching the reference's cfsr_nodes_hi + cfsr_elements)
         atm_map = {
-            "era5": "era5", "generic_ps": "generic_ps", "asr": "asr",
-            "cfsr": "cfsr", "cfsr_hi": "cfsr",
-            "ecmwf_nrt": "ecmwf_nrt", "ecmwf_nrt_arome": "ecmwf_nrt",
-            "ecmwf_nrt_arome_ensemble": "ecmwf_nrt",
+            "era5": ["era5"], "generic_ps": ["generic_ps"], "asr": ["asr"],
+            "cfsr": ["cfsr"], "cfsr_hi": ["cfsr", "cfsr_hi"],
+            "ecmwf_nrt": ["ecmwf_nrt"],
+            "ecmwf_nrt_arome": ["ecmwf_nrt_arome"],
+            "ecmwf_nrt_arome_ensemble": ["ecmwf_nrt_arome_ensemble"],
         }
         ocn_map = {
-            "topaz4": "topaz4r", "topaz4-nrt": "topaz4r", "topaz5-nrt": "topaz4r",
-            "glorys12": "glorys12",
+            "topaz4": "topaz4r", "topaz4-nrt": "topaz4nrt",
+            "topaz5-nrt": "topaz5_nrt", "glorys12": "glorys12",
         }
         self.sources: List[_DatasetReader] = []
         if atm in atm_map:
-            self.sources.append(
-                _DatasetReader(REGISTRY[atm_map[atm]], grid, self.atm_dir)
-            )
+            for nm in atm_map[atm]:
+                self.sources.append(
+                    _DatasetReader(REGISTRY[nm], grid, self.atm_dir, member=member)
+                )
         elif atm != "constant":
             raise NotImplementedError(f"atmosphere-type {atm}")
         if ocn in ocn_map:
             self.sources.append(
                 _DatasetReader(REGISTRY[ocn_map[ocn]], grid, self.ocn_dir)
+            )
+        # standalone wave forcing for the WIM (wimsetup.wave-type)
+        wave = cfg["wimsetup.wave-type"]
+        wave_map = {"ww3a": "ww3a", "eraiw_1deg": "erai_waves_1deg"}
+        if wave in wave_map:
+            self.sources.append(
+                _DatasetReader(REGISTRY[wave_map[wave]], grid, self.data_dir)
             )
         # constant pieces fill whatever the datasets don't provide
         from nextsim_tpu.forcing.providers import ConstantForcing
@@ -588,8 +707,16 @@ class DatasetForcing:
                 if target in ("wind_u", "wind_v", "ocean_u", "ocean_v", "ssh"):
                     arr = arr * f  # spin-up on dynamic fields (ed.cpp:392-404)
                 updates[target] = arr.astype(np.float32)
+        # recombine directions interpolated via unit components
+        for tgt in [k[1:-4] for k in list(updates) if k.startswith("_") and k.endswith("_cos")]:
+            c = updates.pop(f"_{tgt}_cos")
+            s = updates.pop(f"_{tgt}_sin")
+            updates[tgt] = np.degrees(np.arctan2(s, c)).astype(np.float32)
         if updates:
-            base = base.replace(**{k: _to_device(v, self.dtype) for k, v in updates.items()})
+            valid = {f.name for f in dataclasses.fields(Forcing)}
+            base = base.replace(
+                **{k: _to_device(v, self.dtype) for k, v in updates.items() if k in valid}
+            )
         return base
 
 
@@ -603,10 +730,12 @@ class _DatasetReader:
     """One dataset: grid loading, interpolation weights, time series,
     double-buffered (prev, next) planes + background prefetch."""
 
-    def __init__(self, spec: DatasetSpec, grid, dirname: str):
+    def __init__(self, spec: DatasetSpec, grid, dirname: str, member: int = 1):
         self.spec = spec
         self.grid = grid
         self.dirname = dirname
+        self._member = max(0, member - 1)  # 1-based (statevector.ensemble_member)
+        self._grid_angle = None
         self._interp_cell = None
         self._interp_node = None
         self._rot = None  # (cos, sin) at cells and nodes
@@ -640,6 +769,17 @@ class _DatasetReader:
         # rotation angles (only needed where vectors are sampled -> nodes)
         lon0 = self.grid.projection.lon0
         self._rot = _rotation_angles(lon0, q_lon_n)
+        if self.spec.grid_oriented_vectors:
+            # local angle of the source grid's +x axis in the model
+            # projection, from the projected source-grid coordinates
+            lat2d = np.asarray(nc.variables[g.lat_name][:], np.float64)
+            lon2d = np.asarray(nc.variables[g.lon_name][:], np.float64)
+            px, py = self.grid.projection.forward(lat2d, lon2d)
+            px, py = np.asarray(px), np.asarray(py)
+            dx_i = np.gradient(px, axis=-1)
+            dy_i = np.gradient(py, axis=-1)
+            phi = np.arctan2(dy_i, dx_i)
+            self._grid_angle = (np.cos(phi), np.sin(phi))
 
     # -- files & time index ------------------------------------------------
     def _filename(self, d, var_string: Optional[str]) -> str:
@@ -713,15 +853,52 @@ class _DatasetReader:
                 if v.file_var not in nc.variables:
                     continue
                 raw = nc.variables[v.file_var]
-                data = raw[idx] if self.spec.frequency != "static" or raw.shape and len(raw.shape) == 3 else raw[:]
+                if self.spec.member_dim is not None and self.spec.member_dim in raw.dimensions:
+                    # select the ensemble member's record (externaldata.cpp:
+                    # 852-858); member dim follows time in the reference files
+                    data = raw[idx][self._member]
+                elif self.spec.frequency != "static" or raw.shape and len(raw.shape) == 3:
+                    data = raw[idx]
+                else:
+                    data = raw[:]
                 data = np.squeeze(np.asarray(data, np.float64))
                 data = data * v.a + v.b
+                if v.transform == "inv":
+                    data = np.where(np.abs(data) > 1e-12, 1.0 / np.where(data == 0, 1.0, data), 0.0)
                 nodal = v.target in self.spec.nodal_targets
                 interp = self._interp_node if nodal else self._interp_cell
+                if v.transform == "wave_dir_from":
+                    # interpolate the direction's unit components (the
+                    # reference's wavDirOptions x/yComponent split) so the
+                    # angle never wraps through the average
+                    rad = np.deg2rad(data)
+                    fields[f"_{v.target}_cos"] = np.nan_to_num(interp(np.cos(rad)), nan=0.0)
+                    fields[f"_{v.target}_sin"] = np.nan_to_num(interp(np.sin(rad)), nan=0.0)
+                    continue
+                if self.spec.grid_oriented_vectors and any(
+                    v.target in pair for pair in self.spec.vectors
+                ):
+                    # keep raw (source-grid) planes for local-axis rotation
+                    fields["_raw_" + v.target] = data
+                    continue
                 fields[v.target] = np.nan_to_num(interp(data), nan=0.0)
-        # vector rotation east/north -> model x/y (externaldata.cpp rotation)
+        # vector rotation into model x/y (externaldata.cpp transformData)
         for (ut, vt) in self.spec.vectors:
-            if ut in fields and vt in fields:
+            if self.spec.grid_oriented_vectors:
+                if "_raw_" + ut not in fields or "_raw_" + vt not in fields:
+                    continue
+                # components follow the source grid axes
+                # (east_west_oriented=false): rotate by the local angle of the
+                # source grid's +x axis in the model projection, then interp
+                cosg, sing = self._grid_angle
+                ug, vg = fields.pop("_raw_" + ut), fields.pop("_raw_" + vt)
+                um = ug * cosg - vg * sing
+                vm = ug * sing + vg * cosg
+                nodal = ut in self.spec.nodal_targets
+                interp = self._interp_node if nodal else self._interp_cell
+                fields[ut] = np.nan_to_num(interp(um), nan=0.0)
+                fields[vt] = np.nan_to_num(interp(vm), nan=0.0)
+            elif ut in fields and vt in fields:
                 cosl, sinl = self._rot
                 ue, vn = fields[ut], fields[vt]
                 fields[ut] = ue * cosl - vn * sinl

@@ -308,7 +308,7 @@ class Simulator:
             "is_myi_reset_date": mk(md == reset_md and midnight),
         }
 
-    def _wim_exchange(self) -> None:
+    def _wim_exchange(self, forcing=None) -> None:
         """Run the WIM over the next coupling window and harvest wave stress
         + floe breakage (reference WAVES coupling: nextwim.coupling-option
         break_on_mesh — breaking applied directly to the sea-ice state;
@@ -330,13 +330,16 @@ class Simulator:
                 conc >= p.cice_min, conc / p.dfloe_pack_init**2, 0.0
             )
         self.wim.set_ice_fields(conc, vol, self._wim_nfloes)
-        # incident waves: open-water cells get the configured sea state
-        # (wimsetup.wave-type=set_in_wim; external wave products would ride
-        # the coupling exchange instead)
-        ones = jnp.ones_like(conc)
-        self.wim.set_wave_fields(
-            ones * p.hs_inc, ones * p.tp_inc, ones * p.mwd_inc
-        )
+        # incident waves: from the wave forcing dataset when present
+        # (wimsetup.wave-type=ww3a/eraiw_1deg), else the configured constant
+        # sea state over open water (wave-type=set_in_wim)
+        if forcing is not None and getattr(forcing, "swh", None) is not None:
+            self.wim.set_wave_fields(forcing.swh, forcing.mwp, forcing.mwd)
+        else:
+            ones = jnp.ones_like(conc)
+            self.wim.set_wave_fields(
+                ones * p.hs_inc, ones * p.tp_inc, ones * p.mwd_inc
+            )
         diag = self.wim.run(self.wim_couplingfreq * self.dt)
         self._wim_nfloes = self.wim.ice["nfloes"]
         broken = self.wim.ice["broken"]
@@ -363,14 +366,14 @@ class Simulator:
 
     def step(self) -> None:
         self.timer.tick("step")
-        if self.wim is not None and self.pcpt % self.wim_couplingfreq == 0:
-            self.timer.tick("wim")
-            self._wim_exchange()
-            self.timer.tock("wim")
         self.timer.tick("forcing")
         forcing = self.forcing_provider(self.current_time + self.dt * dates.DAYS_IN_SEC, self.time_init)
         if self.coupler is not None:
             forcing = self.coupler.apply_received(forcing)
+        if self.wim is not None and self.pcpt % self.wim_couplingfreq == 0:
+            self.timer.tick("wim")
+            self._wim_exchange(forcing)
+            self.timer.tock("wim")
         if self.wim is not None and self._wim_stress is not None:
             import dataclasses as _dc
 

@@ -114,3 +114,102 @@ def test_dataset_forcing_provider(tmp_path):
     # ocean fields fall back to constant provider
     assert float(np.asarray(f.ocean_u).max()) == 0.0
     assert float(np.asarray(f.mld)[0, 0]) == cfg["ideal_simul.constant_mld"]
+
+
+def write_erai_waves_like(tmp_path, year=2015):
+    """Synthetic yearly erai_waves_1deg file: swh/mwp constant, mwd spanning
+    the 0/360 wrap to exercise component interpolation."""
+    from scipy.io import netcdf_file
+
+    lats = np.arange(40.0, 90.1, 2.0)
+    lons = np.arange(-180.0, 180.0, 4.0)
+    epoch = datetime.datetime(1900, 1, 1)
+    base = (datetime.datetime(year, 10, 16) - epoch).days
+    times = base + np.arange(4) * 0.25
+    with netcdf_file(os.path.join(tmp_path, f"erai_waves_1deg_{year}.nc"), "w") as nc:
+        nc.createDimension("time", len(times))
+        nc.createDimension("latitude", len(lats))
+        nc.createDimension("longitude", len(lons))
+        tv = nc.createVariable("time", "f8", ("time",))
+        tv.units = b"days since 1900-01-01 00:00:00"
+        tv[:] = times
+        nc.createVariable("latitude", "f4", ("latitude",))[:] = lats
+        nc.createVariable("longitude", "f4", ("longitude",))[:] = lons
+        shp = (len(times), len(lats), len(lons))
+        nc.createVariable("swh", "f4", ("time", "latitude", "longitude"))[:] = np.full(shp, 2.5)
+        nc.createVariable("mwp", "f4", ("time", "latitude", "longitude"))[:] = np.full(shp, 10.0)
+        # direction 350..10 degrees across the wrap: naive averaging would
+        # give ~180; component interpolation must stay near 0/360
+        mwd = np.full(shp, 355.0)
+        mwd[..., ::2] = 5.0
+        nc.createVariable("mwd", "f4", ("time", "latitude", "longitude"))[:] = mwd
+
+
+def test_wave_dataset_direction_interp(tmp_path):
+    write_erai_waves_like(tmp_path)
+    grid = Grid.square(nx=8, ny=8, dx=50e3, x0=-200e3, y0=-2800e3)
+    reader = _DatasetReader(REGISTRY["erai_waves_1deg"], grid, str(tmp_path))
+    from nextsim_tpu.utils.dates import string_to_datenum
+
+    t = string_to_datenum("2015-10-16 06:00:00")
+    fields = reader.fields_at(t)
+    assert fields["swh"] == pytest.approx(2.5, abs=1e-5)
+    # recombination happens in the provider; the reader carries components
+    assert "_mwd_cos" in fields and "_mwd_sin" in fields
+    ang = np.degrees(np.arctan2(fields["_mwd_sin"], fields["_mwd_cos"])) % 360.0
+    # stays near north (0/360) — never the naive 180 average
+    assert np.all((ang < 30) | (ang > 330))
+
+
+def test_wave_forcing_feeds_provider_and_registry_complete(tmp_path):
+    write_era5_like(tmp_path)
+    write_erai_waves_like(tmp_path)
+    os.environ["NEXTSIM_DATA_DIR"] = str(tmp_path)
+    try:
+        cfg = Config({
+            "setup.atmosphere-type": "era5",
+            "setup.atmospheric_forcing_input_path": str(tmp_path),
+            "wimsetup.wave-type": "eraiw_1deg",
+            "grid.preset": "square",
+            "grid.nx": 8, "grid.ny": 8, "grid.resolution": 50e3,
+            "simul.spinup_duration": 0.0,
+        })
+        grid = Grid.square(nx=8, ny=8, dx=50e3, x0=-200e3, y0=-2800e3)
+        prov = DatasetForcing(cfg, grid)
+        from nextsim_tpu.utils.dates import string_to_datenum
+
+        t = string_to_datenum("2015-10-16 06:00:00")
+        f = prov(t, t)
+        assert f.swh is not None and float(np.asarray(f.swh).max()) == pytest.approx(2.5, abs=1e-4)
+        assert f.mwp is not None and float(np.asarray(f.mwp).max()) == pytest.approx(10.0, abs=1e-4)
+        ang = np.asarray(f.mwd) % 360.0
+        assert np.all((ang < 30) | (ang > 330))
+    finally:
+        del os.environ["NEXTSIM_DATA_DIR"]
+
+
+def test_new_descriptors_registered():
+    """Catalog parity: the remaining reference dataset families all have
+    registry descriptors (SURVEY.md §2.4)."""
+    for name in [
+        "ecmwf_nrt_arome", "ecmwf_nrt_arome_ensemble", "cfsr_hi",
+        "topaz5_nrt", "ww3a", "erai_waves_1deg",
+    ]:
+        assert name in REGISTRY, name
+    arome = REGISTRY["ecmwf_nrt_arome"]
+    assert arome.grid_oriented_vectors and arome.vectors
+    assert REGISTRY["ecmwf_nrt_arome_ensemble"].member_dim == "ensemble_member"
+    fp = [v for v in REGISTRY["ww3a"].variables if v.file_var == "fp"][0]
+    assert fp.transform == "inv"
+
+
+def test_cfsr_hi_layered_sources():
+    cfg = Config({
+        "setup.atmosphere-type": "cfsr_hi",
+        "grid.preset": "square", "grid.nx": 8, "grid.ny": 8,
+        "grid.resolution": 50e3,
+    })
+    grid = Grid.square(nx=8, ny=8, dx=50e3, x0=-200e3, y0=-2800e3)
+    prov = DatasetForcing(cfg, grid)
+    names = [s.spec.name for s in prov.sources]
+    assert names == ["cfsr", "cfsr_hi"]  # hi-res winds override
