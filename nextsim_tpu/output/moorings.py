@@ -111,10 +111,22 @@ VECTOR_VARIABLES = {"velocity": (("siu", "Sea Ice X Velocity", "sea_ice_x_veloci
 class Moorings:
     """Running-mean accumulator + regular-grid NetCDF writer."""
 
-    def __init__(self, cfg, grid, time_init: float):
+    def __init__(self, cfg, grid, time_init: float, process_rank: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.cfg = cfg
         self.grid = grid
         self.snapshot = cfg["moorings.snapshot"]
+        # parallel output (reference: moorings.parallel_output — every rank
+        # writes its own patch instead of gathering to rank 0,
+        # gridoutput.cpp parallel netCDF path). Each process writes a y-slab
+        # file Moorings_<tag>_p<rank>.nc; merge_parallel_moorings() joins them.
+        if process_rank is None or process_count is None:
+            import jax
+
+            process_rank = jax.process_index()
+            process_count = jax.process_count()
+        self.rank, self.nprocs = process_rank, process_count
+        self.parallel = bool(cfg["moorings.parallel_output"]) and process_count > 1
         self.names: List[str] = [v for v in cfg["moorings.variables"]]
         units = cfg["moorings.output_time_step_units"]
         step_days = cfg["simul.timestep"] / 86400.0
@@ -277,7 +289,19 @@ class Moorings:
         os.makedirs(self.path, exist_ok=True)
         recs = self._records[fname]
         nyo, nxo = self.out_shape
+        rows = slice(None)
+        if self.parallel:
+            # this process's y-slab of the output grid
+            bounds = np.linspace(0, nyo, self.nprocs + 1).astype(int)
+            y0, y1 = int(bounds[self.rank]), int(bounds[self.rank + 1])
+            rows = slice(y0, y1)
+            fname = fname[:-3] + f"_p{self.rank}.nc"
+            nyo = y1 - y0
         with netcdf_file(fname, "w", version=2) as nc:
+            if self.parallel:
+                nc.y_offset = np.int32(rows.start)
+                nc.ny_global = np.int32(self.out_shape[0])
+                nc.nprocs = np.int32(self.nprocs)
             nc.createDimension("time", None)
             nc.createDimension("y", nyo)
             nc.createDimension("x", nxo)
@@ -293,7 +317,7 @@ class Moorings:
                 v = nc.createVariable(nm, "f4", ("y", "x"))
                 v.units = unit
                 v.standard_name = sname
-                v[:] = arr.astype(np.float32)
+                v[:] = arr[rows].astype(np.float32)
             keys = recs[0][1].keys()
             for key in keys:
                 v = nc.createVariable(key, "f4", ("time", "y", "x"))
@@ -302,7 +326,7 @@ class Moorings:
                     v.units = mv.units.encode()
                     v.long_name = mv.long_name.encode()
                     v.standard_name = mv.std_name.encode()
-                v[:] = np.stack([r[1][key] for r in recs])
+                v[:] = np.stack([r[1][key][rows] for r in recs])
 
 
 class _BilinearSampler:
@@ -404,3 +428,51 @@ class _MeanPool:
         nyo, nxo = self.out_shape
         a = np.asarray(field)[: nyo * f, : nxo * f]
         return a.reshape(nyo, f, nxo, f).mean(axis=(1, 3))
+
+
+def merge_parallel_moorings(patch_files: List[str], out_file: str) -> str:
+    """Join per-process y-slab mooring files (moorings.parallel_output) back
+    into one global-grid NetCDF — the offline analog of the reference's
+    parallel-netCDF write (each rank owns a patch of the output grid)."""
+    from scipy.io import netcdf_file
+
+    patches = []
+    for p in patch_files:
+        with netcdf_file(p, "r", mmap=False) as nc:
+            meta = {
+                "y_offset": int(np.asarray(nc.y_offset)),
+                "ny_global": int(np.asarray(nc.ny_global)),
+                "time": nc.variables["time"][:].copy(),
+                "vars": {},
+            }
+            for nm, v in nc.variables.items():
+                meta["vars"][nm] = (v[:].copy(), dict(
+                    units=getattr(v, "units", b""),
+                    standard_name=getattr(v, "standard_name", b""),
+                    long_name=getattr(v, "long_name", b""),
+                ))
+            patches.append(meta)
+    patches.sort(key=lambda m: m["y_offset"])
+    ny_global = patches[0]["ny_global"]
+    with netcdf_file(out_file, "w", version=2) as nc:
+        first = patches[0]
+        some2d = next(a for nm, (a, _) in first["vars"].items() if a.ndim >= 2)
+        nxo = some2d.shape[-1]
+        nc.createDimension("time", None)
+        nc.createDimension("y", ny_global)
+        nc.createDimension("x", nxo)
+        tv = nc.createVariable("time", "f8", ("time",))
+        tv.units = b"days since 1900-01-01 00:00:00"
+        tv[:] = first["time"]
+        for nm, (a0, attrs) in first["vars"].items():
+            if nm == "time":
+                continue
+            dims = ("y", "x") if a0.ndim == 2 else ("time", "y", "x")
+            v = nc.createVariable(nm, "f4", dims)
+            for k, val in attrs.items():
+                if val:
+                    setattr(v, k, val)
+            v[:] = np.concatenate(
+                [m["vars"][nm][0] for m in patches], axis=a0.ndim - 2
+            ).astype(np.float32)
+    return out_file

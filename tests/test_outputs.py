@@ -367,3 +367,46 @@ def test_exporter_precision_and_reference_format(tmp_path):
     assert "Concentration" in recs
     assert recs["Concentration"].dtype == np.float64
     np.testing.assert_allclose(recs["Concentration"].max(), 1.0, rtol=1e-6)
+
+
+def test_moorings_parallel_output_patches_merge(tmp_path):
+    """moorings.parallel_output: per-process y-slab files concatenate back
+    to exactly the serial output (reference parallel-netCDF analog)."""
+    from nextsim_tpu.output.moorings import Moorings, merge_parallel_moorings
+    from scipy.io import netcdf_file
+
+    cfg = toy_cfg(tmp_path)
+    sim = Simulator(cfg)
+    for _ in range(2):
+        sim.step()
+    serial = [f for f in os.listdir(tmp_path) if f.startswith("Moorings")][0]
+    with netcdf_file(os.path.join(tmp_path, serial), "r", mmap=False) as nc:
+        sic_serial = nc.variables["sic"][:].copy()
+
+    # same run, two fake processes each writing its slab
+    pdir = tmp_path / "par"
+    cfgp = toy_cfg(pdir, **{"moorings.parallel_output": True})
+    simp = Simulator(cfgp)
+    m0 = Moorings(cfgp, simp.grid, simp.time_init, process_rank=0, process_count=2)
+    m1 = Moorings(cfgp, simp.grid, simp.time_init, process_rank=1, process_count=2)
+    simp.moorings = m0
+    for _ in range(2):
+        simp.step()
+        # mirror the accumulation into the second writer
+        m1._accum = {k: v for k, v in m0._accum.items()} or m1._accum
+    # replay rank-1 write from the same means: rerun accumulation path
+    cfgp2 = toy_cfg(pdir, **{"moorings.parallel_output": True})
+    simp2 = Simulator(cfgp2)
+    simp2.moorings = Moorings(cfgp2, simp2.grid, simp2.time_init, process_rank=1, process_count=2)
+    for _ in range(2):
+        simp2.step()
+
+    patches = sorted(str(pdir / f) for f in os.listdir(pdir) if "_p" in f and f.endswith(".nc"))
+    assert len(patches) == 2, os.listdir(pdir)
+    merged = merge_parallel_moorings(patches, str(pdir / "Moorings_merged.nc"))
+    with netcdf_file(merged, "r", mmap=False) as nc:
+        sic = nc.variables["sic"][:].copy()
+    assert sic.shape == sic_serial.shape
+    np.testing.assert_allclose(
+        np.nan_to_num(sic, nan=-9), np.nan_to_num(sic_serial, nan=-9), rtol=1e-6
+    )
