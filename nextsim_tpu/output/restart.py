@@ -56,6 +56,10 @@ def write_restart(sim, name: Optional[str] = None) -> str:
             arrays[f"__drifter{i}_y"] = d.y
             arrays[f"__drifter{i}_id"] = d.ids
             arrays[f"__drifter{i}_alive"] = d.alive
+    # WIM floe-number field (the WAVES-era M_nfloes prognostic participates
+    # in the reference restart)
+    if getattr(sim, "wim", None) is not None and getattr(sim, "_wim_nfloes", None) is not None:
+        arrays["__wim_nfloes"] = np.asarray(sim._wim_nfloes)
     fname = os.path.join(path, f"restart_{name}.npz")
     np.savez_compressed(fname, __meta__=json.dumps(meta), **arrays)
     return fname
@@ -91,6 +95,8 @@ def read_restart(sim, basename: Optional[str] = None) -> None:
                     d.y = data[f"__drifter{i}_y"]
                     d.ids = data[f"__drifter{i}_id"]
                     d.alive = data[f"__drifter{i}_alive"]
+        if getattr(sim, "wim", None) is not None and "__wim_nfloes" in data:
+            sim._wim_nfloes = jnp.asarray(data["__wim_nfloes"], sim.dtype)
 
     rtype = cfg["restart.type"]
     if rtype == "arbitrary":

@@ -405,3 +405,42 @@ def test_isotropic_matches_dissipated_stress_convention():
     np.testing.assert_allclose(np.asarray(ty_dis), 0.0, atol=1e-8)
     # identical total attenuation coefficient -> same mode-1 sink -> same stress
     np.testing.assert_allclose(np.asarray(tx_iso), np.asarray(tx_dis), rtol=1e-5)
+
+
+def test_wim_nfloes_restart_roundtrip(tmp_path):
+    """The WIM floe-number field participates in restart (the WAVES-era
+    M_nfloes prognostic)."""
+    import os
+
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+    from nextsim_tpu.output.restart import read_restart, write_restart
+
+    base = {
+        "simul.time_init": "2008-03-01",
+        "simul.duration": 1.0,
+        "simul.timestep": 900,
+        "simul.spinup_duration": 0.0,
+        "grid.preset": "square",
+        "grid.nx": 30, "grid.ny": 12, "grid.resolution": 4e3,
+        "setup.ice-type": "constant_partial",
+        "setup.dynamics-type": "free_drift",
+        "thermo.use_thermo_forcing": False,
+        "nextwim.use_wim": True,
+        "nextwim.couplingfreq": 1,
+        "wimsetup.nwavefreq": 3,
+        "wimsetup.nwavedirn": 8,
+        "wim.steady": False,
+        "output.exporter_path": str(tmp_path),
+    }
+    sim = Simulator(Config(dict(base)))
+    for _ in range(2):
+        sim.step()
+    assert sim._wim_nfloes is not None
+    write_restart(sim, name="wimtest")
+    nf0 = np.asarray(sim._wim_nfloes)
+
+    cfg2 = Config(dict(base))
+    sim2 = Simulator(cfg2)
+    read_restart(sim2, basename="wimtest")
+    np.testing.assert_array_equal(np.asarray(sim2._wim_nfloes), nf0)
