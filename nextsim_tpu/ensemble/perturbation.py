@@ -62,8 +62,11 @@ def spectral_noise(key, shape, rh_cells: float):
     amp = jnp.exp(log_amp - jnp.max(log_amp))
     kr, kp = jax.random.split(key)
     phase = jax.random.uniform(kp, amp.shape, minval=0.0, maxval=2.0 * jnp.pi)
-    spec = amp * jnp.exp(1j * phase)
-    field = jnp.fft.irfft2(spec, s=(ny, nx))
+    # real-arithmetic inverse FFT: the TPU backend has no complex ops at
+    # all, and the matmul DFT runs on the MXU (ops/realfft.py)
+    from nextsim_tpu.ops import realfft
+
+    field = realfft.irfft2(amp * jnp.cos(phase), amp * jnp.sin(phase), (ny, nx))
     std = jnp.std(field) + 1e-30
     return field / std
 

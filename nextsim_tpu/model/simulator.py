@@ -243,6 +243,9 @@ class Simulator:
                         # buffer to keep donation legal next step
                         mech = cf + 0.0
                 state = state.replace(conc_fsd=cf, conc_mech_fsd=mech, damage=damage)
+                # floe-size diagnostics for moorings (reference dmax/dmean
+                # GridOutput variables, gridoutput.hpp:219-220)
+                diag["dmax"], diag["dmean"] = fsd_ops.dmax_dmean(cf, fp, fb)
 
             # ---- dynamics (reference: fe.cpp:8197-8221) ------------------
             if dynamics_type in ("bbm", "evp", "mevp"):
@@ -390,6 +393,13 @@ class Simulator:
         self.state, self.diag, viol = self._step_fn(self.state, forcing, tinfo)
         self.timer.tock("device_step")
         self.last_forcing = forcing  # for output.save_forcing_fields
+        if self.wim is not None:
+            # WIM diagnostics for moorings (held constant between couplings)
+            if self._wim_stress is not None:
+                self.diag.setdefault("tauwix", self._wim_stress[0])
+                self.diag.setdefault("tauwiy", self._wim_stress[1])
+            if self.fsd_params is None and self.wim.ice is not None:
+                self.diag.setdefault("dmax", self.wim.ice["dfloe"])
 
         if self.nesting is not None:
             from nextsim_tpu.ops.nesting import apply_nesting

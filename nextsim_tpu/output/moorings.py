@@ -100,6 +100,12 @@ MOORING_VARIABLES: Dict[str, MVar] = {
         MVar("albedo", "albedo", "Surface albedo", "surface_albedo", "1", "diag", "albedo"),
         MVar("sialb", "sialb", "Sea ice albedo", "sea_ice_albedo", "1", "diag", "sialb"),
         MVar("divergence", "divergence", "Velocity divergence", "divergence_of_sea_ice_velocity", "s-1", "diag", "divergence"),
+        # WIM/FSD floe-size diagnostics (reference: gridoutput.hpp:219-220,
+        # 807-821 dmax/dmean) and wave stress (tauwix/tauwiy, go.hpp:231-232)
+        MVar("dmax", "dmax", "Maximum floe size", "maximum_floe_size", "m", "diag", "dmax"),
+        MVar("dmean", "dmean", "Mean floe size", "mean_floe_size", "m", "diag", "dmean"),
+        MVar("tauwix", "tauwix", "Eastward Stress waves on ice", "eastward_stress_waves_on_ice", "Pa", "diag", "tauwix"),
+        MVar("tauwiy", "tauwiy", "Northward Stress waves on ice", "northward_stress_waves_on_ice", "Pa", "diag", "tauwiy"),
     ]
 }
 

@@ -434,19 +434,23 @@ def attenuate_spectrum(s_fq, ag, atten_dim, damp_dim, imask, dfloe, cos_d,
         q_scat = jnp.where(scattering, atten_dim, 0.0)
         q_abs = jnp.where(scattering, damp_dim, atten_dim + damp_dim)
         q_tot = q_scat + q_abs
-        fft_s = jnp.fft.fft(s_fq, axis=0)
+        # direction-axis DFT in real arithmetic (matmul on the MXU; the TPU
+        # backend implements no complex ops — ops/realfft.py)
+        from nextsim_tpu.ops import realfft
+
+        fft_re, fft_im = realfft.dft_leading(s_fq)
         # true mode-1 coefficient on the theta grid (theta_d = -pi + 2pi d/N
         # from adv_dir, so F[1] = -wt*FFT[1])
-        f1 = -wt * fft_s[1]
-        taux_om = jnp.where(imask > 0.5, q_tot * ag * jnp.real(f1), 0.0)
-        tauy_om = jnp.where(imask > 0.5, -q_tot * ag * jnp.imag(f1), 0.0)
+        f1_re, f1_im = -wt * fft_re[1], -wt * fft_im[1]
+        taux_om = jnp.where(imask > 0.5, q_tot * ag * f1_re, 0.0)
+        tauy_om = jnp.where(imask > 0.5, -q_tot * ag * f1_im, 0.0)
         n0 = jnp.arange(ndir) == 0
         decay = jnp.where(
             n0[:, None, None],
             jnp.exp(-q_abs * ag * dt_wim)[None],
             jnp.exp(-q_tot * ag * dt_wim)[None],
         )
-        s_dec = jnp.real(jnp.fft.ifft(fft_s * decay, axis=0))
+        s_dec = realfft.idft_real_leading(fft_re * decay, fft_im * decay)
         s_fq = jnp.where(in_ice, s_dec.astype(s_fq.dtype), s_fq)
     else:  # dissipated
         alp = (atten_dim + damp_dim)[None]

@@ -213,3 +213,48 @@ def test_cfsr_hi_layered_sources():
     prov = DatasetForcing(cfg, grid)
     names = [s.spec.name for s in prov.sources]
     assert names == ["cfsr", "cfsr_hi"]  # hi-res winds override
+
+
+def test_arome_ensemble_member_selection(tmp_path):
+    """The ensemble_member record dimension is sliced by
+    statevector.ensemble_member (reference: externaldata.cpp:852-858)."""
+    from scipy.io import netcdf_file
+
+    ny, nx, nmem = 6, 7, 3
+    # small curvilinear grid around the pole area of the model square grid
+    grid = Grid.square(nx=8, ny=8, dx=50e3, x0=-200e3, y0=-2800e3)
+    glat, glon = grid.cell_latlon()
+    lat2d = np.linspace(glat.min() - 1, glat.max() + 1, ny)[:, None] * np.ones((1, nx))
+    lon2d = np.ones((ny, 1)) * np.linspace(glon.min() - 2, glon.max() + 2, nx)[None, :]
+    epoch = datetime.datetime(1970, 1, 1)
+    base = (datetime.datetime(2015, 10, 16) - epoch).total_seconds()
+    fn = os.path.join(tmp_path, "ecmwf_nrt_arome_blended_ensemble_20151016.nc")
+    with netcdf_file(fn, "w") as nc:
+        nc.createDimension("time", 2)
+        nc.createDimension("ensemble_member", nmem)
+        nc.createDimension("y", ny)
+        nc.createDimension("x", nx)
+        tv = nc.createVariable("time", "f8", ("time",))
+        tv.units = b"seconds since 1970-01-01 00:00:00"
+        tv[:] = base + np.arange(2) * 43200.0
+        nc.createVariable("latitude", "f4", ("y", "x"))[:] = lat2d
+        nc.createVariable("longitude", "f4", ("y", "x"))[:] = lon2d
+        t2m = nc.createVariable(
+            "air_temperature_2m", "f4", ("time", "ensemble_member", "y", "x")
+        )
+        # member m has temperature 270+m everywhere
+        data = np.zeros((2, nmem, ny, nx))
+        for m in range(nmem):
+            data[:, m] = 270.0 + m
+        t2m[:] = data
+
+    from nextsim_tpu.utils.dates import string_to_datenum
+
+    t = string_to_datenum("2015-10-16 06:00:00")
+    for member in (1, 3):
+        reader = _DatasetReader(
+            REGISTRY["ecmwf_nrt_arome_ensemble"], grid, str(tmp_path), member=member
+        )
+        fields = reader.fields_at(t)
+        want = 270.0 + (member - 1) - 273.15  # tair in C
+        assert fields["tair"] == pytest.approx(want, abs=1e-4), member

@@ -179,3 +179,27 @@ def test_coupled_simulator_runs(tmp_path):
         sim.step()
     outs = [f for f in os.listdir(os.path.join(tmp_path, "coupler")) if f.startswith("cpl_out_")]
     assert len(outs) == 2  # every 2 steps
+
+
+def test_realfft_matches_numpy():
+    """Real-arithmetic DFT helpers (the TPU backend has no complex ops)
+    match the numpy complex reference."""
+    import jax.numpy as jnp
+
+    from nextsim_tpu.ops import realfft
+
+    rng = np.random.default_rng(0)
+    for (ny, nx) in [(8, 8), (12, 10), (9, 7)]:
+        lh = nx // 2 + 1
+        a = rng.normal(size=(ny, lh)).astype(np.float32)
+        b = rng.normal(size=(ny, lh)).astype(np.float32)
+        want = np.fft.irfft2(a + 1j * b, s=(ny, nx))
+        got = np.asarray(realfft.irfft2(jnp.asarray(a), jnp.asarray(b), (ny, nx)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    s = rng.normal(size=(16, 4, 5)).astype(np.float32)
+    re, im = realfft.dft_leading(jnp.asarray(s))
+    want = np.fft.fft(s, axis=0)
+    np.testing.assert_allclose(np.asarray(re), want.real, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(im), want.imag, atol=1e-4)
+    back = realfft.idft_real_leading(re, im)
+    np.testing.assert_allclose(np.asarray(back), s, atol=1e-5)

@@ -444,3 +444,44 @@ def test_wim_nfloes_restart_roundtrip(tmp_path):
     sim2 = Simulator(cfg2)
     read_restart(sim2, basename="wimtest")
     np.testing.assert_array_equal(np.asarray(sim2._wim_nfloes), nf0)
+
+
+def test_wim_moorings_dmax_and_wave_stress(tmp_path):
+    """dmax + tauwix/tauwiy ride the moorings output when the WIM is on
+    (reference GridOutput WIM variables, gridoutput.hpp:219-220, 231-232)."""
+    import os
+
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    cfg = Config({
+        "simul.time_init": "2008-03-01",
+        "simul.duration": 1.0,
+        "simul.timestep": 900,
+        "simul.spinup_duration": 0.0,
+        "grid.preset": "square",
+        "grid.nx": 30, "grid.ny": 12, "grid.resolution": 4e3,
+        "setup.ice-type": "constant_partial",
+        "setup.dynamics-type": "free_drift",
+        "thermo.use_thermo_forcing": False,
+        "nextwim.use_wim": True,
+        "nextwim.couplingfreq": 1,
+        "wimsetup.nwavefreq": 3, "wimsetup.nwavedirn": 8,
+        "wim.steady": False,
+        "moorings.use_moorings": True,
+        "moorings.spacing": 8.0,
+        "moorings.output_timestep": 900.0 / 86400.0,
+        "output.exporter_path": str(tmp_path),
+    })
+    cfg._values["moorings.variables"] = ["conc", "dmax", "tauwix", "tauwiy"]
+    sim = Simulator(cfg)
+    for _ in range(2):
+        sim.step()
+    files = [f for f in os.listdir(tmp_path) if f.startswith("Moorings")]
+    from scipy.io import netcdf_file
+
+    with netcdf_file(os.path.join(tmp_path, files[0]), "r") as nc:
+        assert "dmax" in nc.variables and "tauwix" in nc.variables
+        dmax = nc.variables["dmax"][:].copy()
+        assert np.isfinite(dmax[np.ndarray.astype(np.isnan(dmax), bool) == False]).all()
+        assert np.nanmax(dmax) > 0  # pack ice carries dfloe_pack values
