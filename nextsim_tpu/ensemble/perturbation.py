@@ -88,43 +88,38 @@ class EnsembleForcing:
         self.alpha = math.exp(-self.dt_days / self.p.tcorr_days)
         self._ran: Optional[Dict[str, jnp.ndarray]] = None
 
-    def _draw(self) -> Dict[str, jnp.ndarray]:
-        out = {}
-        for name in self.FIELDS:
-            self.key, sub = jax.random.split(self.key)
-            out[name] = spectral_noise(sub, self.grid.shape, self.rh_cells)
-        return out
+    def _draw_stack(self, key):
+        """Fresh unit fields for all perturbed quantities, stacked (4,ny,nx)."""
+        subs = jax.random.split(key, len(self.FIELDS))
+        return jnp.stack(
+            [spectral_noise(subs[i], self.grid.shape, self.rh_cells)
+             for i in range(len(self.FIELDS))]
+        )
 
-    def _advance(self):
-        """AR(1) red process (mod_random_forcing.F90 ran_update_ran1)."""
-        fresh = self._draw()
-        if self._ran is None:
-            self._ran = fresh
-        else:
-            a = self.alpha
-            b = math.sqrt(max(0.0, 1.0 - a * a))
-            self._ran = {
-                k: a * self._ran[k] + b * fresh[k] for k in self.FIELDS
-            }
-
-    def __call__(self, t_days: float, time_init_days: float):
-        f = self.provider(t_days, time_init_days)
-        if self.member <= 0:
-            return f  # member 0 = unperturbed control
-        self._advance()
+    def _step(self, key, ran, f):
+        """One fused device program: draw fresh noise, advance the AR(1) red
+        process (mod_random_forcing.F90 ran_update_ran1) and apply all
+        perturbations. Keeping this a single jitted call matters: the eager
+        per-field version cost ~40 dispatches/step, which through a
+        high-latency accelerator link dominated the whole model step."""
         p = self.p
-        ran = self._ran
+        key, sub = jax.random.split(key)
+        fresh = self._draw_stack(sub)
+        a = self.alpha
+        b = math.sqrt(max(0.0, 1.0 - a * a))
+        ran = a * ran + b * fresh
 
-        slp_pert_pa = 100.0 * math.sqrt(p.vslp) * ran["slp"]  # hPa->Pa
+        idx = {n: i for i, n in enumerate(self.FIELDS)}
+        slp_pert_pa = 100.0 * math.sqrt(p.vslp) * ran[idx["slp"]]  # hPa->Pa
         updates = dict(
             mslp=f.mslp + slp_pert_pa,
-            tair=f.tair + math.sqrt(p.vairtmp) * ran["airtmp"],
+            tair=f.tair + math.sqrt(p.vairtmp) * ran[idx["airtmp"]],
             precip=jnp.maximum(
-                0.0, f.precip * (1.0 + math.sqrt(p.vprecip) * ran["precip"])
+                0.0, f.precip * (1.0 + math.sqrt(p.vprecip) * ran[idx["precip"]])
             ),
         )
         if f.dair is not None:
-            updates["dair"] = f.dair + math.sqrt(p.vrelhum) * ran["relhum"]
+            updates["dair"] = f.dair + math.sqrt(p.vrelhum) * ran[idx["relhum"]]
 
         if p.prsflg == 2:
             # geostrophic wind from the SLP perturbation, scaled so the wind
@@ -146,4 +141,15 @@ class EnsembleForcing:
             updates["wind_u"] = f.wind_u + du_n
             updates["wind_v"] = f.wind_v + dv_n
 
-        return f.replace(**updates)
+        return key, ran, f.replace(**updates)
+
+    def __call__(self, t_days: float, time_init_days: float):
+        f = self.provider(t_days, time_init_days)
+        if self.member <= 0:
+            return f  # member 0 = unperturbed control
+        if self._ran is None:
+            self.key, sub = jax.random.split(self.key)
+            self._ran = jax.jit(self._draw_stack)(sub)
+            self._jit_step = jax.jit(self._step)
+        self.key, self._ran, out = self._jit_step(self.key, self._ran, f)
+        return out
