@@ -51,18 +51,20 @@ def main() -> None:
             "dynamics.use_coriolis": True,
         }
     )
+    cfg.set("tpu.steps_per_call", 10)  # fused multi-step device program
     sim = Simulator(cfg)
     forcing = sim.forcing_provider(sim.current_time, sim.time_init)
     tinfo = sim.time_info()
+    chunk = sim._build_chunk_fn(sim._chunk_k)
 
     # warmup/compile
-    state, diag, viol = sim._step_fn(sim.state, forcing, tinfo)
+    state, diag, viol, acc, lex = chunk(sim.state, forcing, tinfo)
     jax.block_until_ready(state)
 
-    n_steps = 10
+    n_steps = 30
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, diag, viol = sim._step_fn(state, forcing, tinfo)
+    for _ in range(n_steps // sim._chunk_k):
+        state, diag, viol, acc, lex = chunk(state, forcing, tinfo)
     jax.block_until_ready(state)
     dt_wall = time.perf_counter() - t0
 

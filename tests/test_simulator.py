@@ -112,3 +112,55 @@ def test_check_interval_batches_but_catches(tmp_path):
     with pytest.raises(RuntimeError, match="checkFieldsFast"):
         for _ in range(4):
             sim.step()
+
+
+def test_steps_per_call_matches_per_step(tmp_path):
+    """tpu.steps_per_call fuses K steps into one device program; results
+    match the per-step path (constant forcing) and moorings accumulate the
+    same means."""
+    import jax.numpy as jnp
+
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    def cfg(k, path):
+        return Config({
+            "grid.preset": "square",
+            "grid.nx": 24, "grid.ny": 24, "grid.resolution": 10e3,
+            "simul.timestep": 200, "simul.time_init": "2015-10-16 00:00:00",
+            "simul.duration": 200.0 * 4 / 86400.0,
+            "dynamics.substeps": 60,
+            "thermo.use_thermo_forcing": False,
+            "setup.ice-type": "constant",
+            "setup.atmosphere-type": "constant",
+            "setup.ocean-type": "constant",
+            "ideal_simul.constant_wind_u": 12.0,
+            "simul.spinup_duration": 0.0,
+            "tpu.steps_per_call": k,
+            "tpu.donate_state": False,
+            "moorings.use_moorings": True,
+            "moorings.spacing": 20.0,
+            "moorings.output_timestep": 1.0,  # never due in 4 steps
+            "output.exporter_path": str(path),
+        })
+
+    sim1 = Simulator(cfg(1, tmp_path / "a"))
+    sim1.run()
+    sim2 = Simulator(cfg(2, tmp_path / "b"))
+    sim2.run()
+    assert sim1.pcpt == sim2.pcpt == 4
+    np.testing.assert_allclose(
+        np.asarray(sim1.state.vt_u), np.asarray(sim2.state.vt_u), atol=1e-6
+    )
+    # scan-body fusion reorders float32 ops vs the standalone jit; the stiff
+    # damage dynamics amplify that to ~1e-6 over 4 steps
+    np.testing.assert_allclose(
+        np.asarray(sim1.state.damage), np.asarray(sim2.state.damage), atol=1e-5
+    )
+    assert sim1.moorings._count == sim2.moorings._count == 4
+    for key in sim1.moorings._accum:
+        np.testing.assert_allclose(
+            np.asarray(sim1.moorings._accum[key]),
+            np.asarray(sim2.moorings._accum[key]),
+            atol=1e-5,
+        )
