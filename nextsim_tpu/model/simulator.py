@@ -303,21 +303,19 @@ class Simulator:
             acc = extract(state, diag)
 
             def body(carry, _):
-                st, vmax, a = carry
+                st, vmax, a, _dg = carry
                 st, dg, vl = raw(st, forcing, tinfo)
                 ex = extract(st, dg)
                 a = {kk: a[kk] + ex[kk] for kk in a}
-                return (st, jnp.maximum(vmax, vl), a), dg
+                # diag rides the carry (only the last step's survives) —
+                # returning it as a scan output would materialise K copies
+                return (st, jnp.maximum(vmax, vl), a, dg), None
 
-            (state, viol, acc), diags = jax.lax.scan(
-                body, (state, viol, acc), None, length=k - 1
+            (state, viol, acc, diag), _ = jax.lax.scan(
+                body, (state, viol, acc, diag), None, length=k - 1
             )
-            if k > 1:
-                last_diag = {kk: v[-1] for kk, v in diags.items()}
-            else:
-                last_diag = diag
-            last_extract = extract(state, last_diag)  # snapshot-mode moorings
-            return state, last_diag, viol, acc, last_extract
+            last_extract = extract(state, diag)  # snapshot-mode moorings
+            return state, diag, viol, acc, last_extract
 
         return jax.jit(
             chunk_fn,
