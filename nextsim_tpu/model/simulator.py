@@ -332,15 +332,7 @@ class Simulator:
         )
         if self.wim is not None and (self.pcpt // k) % max(1, self.wim_couplingfreq // k) == 0:
             self._wim_exchange(forcing)
-            if self._wim_stress is not None:
-                import dataclasses as _dc
-
-                forcing = _dc.replace(
-                    forcing,
-                    tau_wi_u=self._wim_stress[0],
-                    tau_wi_v=self._wim_stress[1],
-                    wlbk=self._wim_wlbk if self._wim_wlbk is not None else forcing.wlbk,
-                )
+            forcing = self._apply_wim_forcing(forcing)
         tinfo = self.time_info()
         self.timer.tock("forcing")
 
@@ -462,9 +454,14 @@ class Simulator:
                 cells_to_node_sum(diag["tau_y"]) / cnt,
             )
         if self.fsd_params is not None:
-            # feed breakage into the FSD pipeline as a breaking probability
-            # (same entry point as the WW3-coupled wlbk field)
-            self._wim_wlbk = broken
+            # feed breakage into the FSD pipeline through the wlbk entry
+            # point (same one the WW3-coupled wave field uses). wlbk is a
+            # breaking WAVELENGTH in metres with >=499 meaning "no breaking
+            # waves" (fsd.wave_breakup); WIM breaking sets dfloe = lam/2, so
+            # the wavelength over the broken zone is 2*dfloe.
+            self._wim_wlbk = jnp.where(
+                broken > 0.0, 2.0 * self.wim.ice["dfloe"], 500.0
+            )
         elif cfg["nextwim.wim_damage_mesh"]:
             # no FSD: raise damage directly where floes broke
             # (nextwim.wim_damage_value, options_wim.cpp)
@@ -473,6 +470,20 @@ class Simulator:
             )
             self.state = self.state.replace(damage=dmg)
         self.wim_diag = diag
+
+    def _apply_wim_forcing(self, forcing):
+        """Overlay the last WIM exchange (wave stress, FSD breaking
+        wavelength) onto the forcing bundle; each is independent of the
+        other (applywavestress may be off while FSD breakup is on)."""
+        import dataclasses as _dc
+
+        repl = {}
+        if self._wim_stress is not None:
+            repl["tau_wi_u"] = self._wim_stress[0]
+            repl["tau_wi_v"] = self._wim_stress[1]
+        if self._wim_wlbk is not None:
+            repl["wlbk"] = self._wim_wlbk
+        return _dc.replace(forcing, **repl) if repl else forcing
 
     def step(self) -> None:
         self.timer.tick("step")
@@ -484,15 +495,8 @@ class Simulator:
             self.timer.tick("wim")
             self._wim_exchange(forcing)
             self.timer.tock("wim")
-        if self.wim is not None and self._wim_stress is not None:
-            import dataclasses as _dc
-
-            forcing = _dc.replace(
-                forcing,
-                tau_wi_u=self._wim_stress[0],
-                tau_wi_v=self._wim_stress[1],
-                wlbk=self._wim_wlbk if self._wim_wlbk is not None else forcing.wlbk,
-            )
+        if self.wim is not None:
+            forcing = self._apply_wim_forcing(forcing)
         tinfo = self.time_info()
         self.timer.tock("forcing")
 

@@ -649,9 +649,16 @@ class Wim:
         nfloes = jnp.where(keep, nfloes, 0.0)
         thick = jnp.where(keep, vol / jnp.maximum(conc, 1e-12), 0.0)
         dfloe = nfloes_to_dfloe(nfloes, conc, p)
+        # `broken` marks cells whose floes are in a broken state (dfloe below
+        # the unbroken-pack size); new breakage this window ORs into it in
+        # wim_time_step. Persistent (not newly-broken-only) so the coupled
+        # damage/FSD feeds see the full broken zone each window — applied
+        # with max()/idempotent redistribution, so this matches the
+        # reference's break_on_mesh effect (wimdiscr.cpp breaking on mesh).
+        broken = keep & (dfloe > 0.0) & (dfloe < p.dfloe_pack_init)
         self.ice = dict(
             conc=conc, vol=vol, nfloes=nfloes, thick=thick, dfloe=dfloe,
-            mask=keep.astype(self.dtype), broken=jnp.zeros_like(conc),
+            mask=keep.astype(self.dtype), broken=broken.astype(self.dtype),
         )
 
     def ideal_ice_fields(self, xfac: float = 0.7):
