@@ -196,8 +196,12 @@ def explicit_solve(
             _fast_pow(state.thick, p.bbm.exponent_compression_factor)
             * p.bbm.compression_factor * bbm_expC
         )
+        bbm_heal = dte / state.time_relaxation_damage * bbm_expC
+        bbm_rtd = jnp.sqrt(p.bbm.young * bbm_expC) / (
+            dx * math.sqrt(2.0 * (1.0 + p.bbm.nu0) * phys.rhoi)
+        )
     else:
-        bbm_expC = bbm_pmax = None
+        bbm_expC = bbm_pmax = bbm_heal = bbm_rtd = None
 
     # loop-invariant node coefficients (node_mass, fcor are fixed)
     dtep_const = dte / (p.mevp_beta + 1.0) if dyn_type == "mevp" else dte
@@ -215,6 +219,7 @@ def explicit_solve(
                 grid_arrays["cohesion"], state.time_relaxation_damage,
                 eps11, eps22, eps12, dx, dte, p.bbm,
                 expC=bbm_expC, Pmax=bbm_pmax,
+                heal_rate=bbm_heal, rtd_coef=bbm_rtd,
             )
         elif dyn_type == "evp":
             sigma = rheology.evp_update(

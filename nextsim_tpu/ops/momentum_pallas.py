@@ -102,8 +102,12 @@ def _substep_kernel(
             _fast_pow(thick, p.bbm.exponent_compression_factor)
             * p.bbm.compression_factor * bbm_expC
         )
+        bbm_heal = dte / trelax * bbm_expC
+        bbm_rtd = jnp.sqrt(p.bbm.young * bbm_expC) / (
+            dx * math.sqrt(2.0 * (1.0 + p.bbm.nu0) * phys.rhoi)
+        )
     else:
-        bbm_expC = bbm_pmax = None
+        bbm_expC = bbm_pmax = bbm_heal = bbm_rtd = None
 
     # loop-invariant node coefficients (node_mass, fcor are fixed)
     dtep_const = dte / (p.mevp_beta + 1.0) if dyn_type == "mevp" else dte
@@ -118,6 +122,7 @@ def _substep_kernel(
                 sigma, damage, conc, thick, cohesion, trelax,
                 eps11, eps22, eps12, dx, dte, p.bbm,
                 expC=bbm_expC, Pmax=bbm_pmax,
+                heal_rate=bbm_heal, rtd_coef=bbm_rtd,
             )
         elif dyn_type == "evp":
             sigma = rheology.evp_update(

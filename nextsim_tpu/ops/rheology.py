@@ -81,6 +81,8 @@ def bbm_update(
     p: BBMParams,
     expC=None,  # optional precomputed exp(C*(1-conc)) — loop-invariant
     Pmax=None,  # optional precomputed P*h^1.5*expC — loop-invariant
+    heal_rate=None,  # optional precomputed dt/t_heal*expC — loop-invariant
+    rtd_coef=None,  # optional precomputed sqrt(E0*expC)/(dx*c_d) — loop-invariant
 ):
     """One BBM sub-step (reference: updateSigmaDamage, finiteelement.cpp:
     4137-4260). Returns (sigma, damage).
@@ -130,17 +132,27 @@ def bbm_update(
     sigma_s = jnp.sqrt(half_diff * half_diff + sxy * sxy)
     sigma_n = 0.5 * (sxx + syy)
 
-    # Mohr-Coulomb + compressive failure (Plante & Tremblay form)
-    dcrit = jnp.where(
-        sigma_n < -p.compr_strength,
-        -p.compr_strength / jnp.minimum(sigma_n, -1e-30),
-        cohesion / jnp.maximum(sigma_s + p.tan_phi * sigma_n, 1e-30),
+    # Mohr-Coulomb + compressive failure (Plante & Tremblay form). Both
+    # branches are ratios — select numerator/denominator per lane and divide
+    # once (divisions are multi-cycle on the VPU and this is the substep
+    # critical path).
+    compressive = sigma_n < -p.compr_strength
+    dcrit_num = jnp.where(compressive, -p.compr_strength, cohesion)
+    dcrit_den = jnp.where(
+        compressive,
+        jnp.minimum(sigma_n, -1e-30),
+        jnp.maximum(sigma_s + p.tan_phi * sigma_n, 1e-30),
     )
+    dcrit = dcrit_num / dcrit_den
 
     failing = (dcrit > 0.0) & (dcrit < 1.0)
-    # characteristic damage time t_d = dx*sqrt(2*(1+nu)*rhoi)/sqrt(E)  (fe.cpp:4230)
-    sqrt_nu_rhoi = math.sqrt(2.0 * (1.0 + p.nu0) * phys.rhoi)
-    rtd = jnp.sqrt(jnp.maximum(elasticity, 0.0)) / (delta_x * sqrt_nu_rhoi)
+    # characteristic damage time t_d = dx*sqrt(2*(1+nu)*rhoi)/sqrt(E)
+    # (fe.cpp:4230); 1/t_d = rtd_coef*sqrt(1-damage) with the loop-invariant
+    # factor sqrt(E0*expC)/(dx*c_d) hoistable by the caller.
+    if rtd_coef is None:
+        sqrt_nu_rhoi = math.sqrt(2.0 * (1.0 + p.nu0) * phys.rhoi)
+        rtd_coef = jnp.sqrt(p.young * expC) / (delta_x * sqrt_nu_rhoi)
+    rtd = rtd_coef * jnp.sqrt(jnp.maximum(1.0 - damage, 0.0))
     relax = (1.0 - dcrit) * dt * rtd
     relax = jnp.where(failing, relax, 0.0)
 
@@ -151,9 +163,9 @@ def bbm_update(
     sxy = sxy * (1.0 - relax)
 
     # --- healing (fe.cpp:4254-4257) ---------------------------------------
-    damage_new = jnp.maximum(
-        0.0, damage_new - dt / time_relaxation_damage * expC
-    )
+    if heal_rate is None:
+        heal_rate = dt / time_relaxation_damage * expC
+    damage_new = jnp.maximum(0.0, damage_new - heal_rate)
 
     sxx = jnp.where(has_ice, sxx, 0.0)
     syy = jnp.where(has_ice, syy, 0.0)
