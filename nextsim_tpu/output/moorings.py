@@ -159,10 +159,24 @@ class Moorings:
             self.lat, self.lon = lat, lon
             self.out_shape = lat.shape
             xq, yq = grid.projection.forward(lat, lon)
-            self._cell_interp = _PointSampler(
+            point = _PointSampler(
                 grid.x0 + 0.5 * grid.dx, grid.y0 + 0.5 * grid.dx, grid.dx,
                 grid.shape, np.asarray(xq), np.asarray(yq),
             )
+            if cfg["moorings.use_conservative_remapping"]:
+                # conservative binning for element fields (reference:
+                # ConservativeRemappingMeshToGrid on arbitrary grids,
+                # gridoutput.cpp:226-330), bilinear fill where uncovered
+                cy, cx = np.meshgrid(
+                    grid.y0 + (np.arange(grid.ny) + 0.5) * grid.dx,
+                    grid.x0 + (np.arange(grid.nx) + 0.5) * grid.dx,
+                    indexing="ij",
+                )
+                self._cell_interp = _BinnedConservative(
+                    cx, cy, np.asarray(xq), np.asarray(yq), point
+                )
+            else:
+                self._cell_interp = point
             self._node_interp = _PointSampler(
                 grid.x0, grid.y0, grid.dx, grid.node_shape,
                 np.asarray(xq), np.asarray(yq),
@@ -390,6 +404,57 @@ class _PointSampler:
             + f[self.j1, self.i0] * (1 - self.wx) * self.wy
             + f[self.j1, self.i1] * self.wx * self.wy
         )
+
+
+class _BinnedConservative:
+    """Conservative remap onto an arbitrary (curvilinear) target grid by
+    whole-cell binning: every model cell contributes exactly once, to the
+    target cell whose centre is nearest (the structured-grid analog of the
+    reference's polygon-intersection ConservativeRemappingMeshToGrid,
+    contrib/bamg/src/ConservativeRemapping.cpp, for targets at or coarser
+    than the model resolution — each model cell's full area lands in one
+    target cell, so the domain integral is preserved up to the cell-
+    assignment discretisation). Target cells that catch no model cell
+    (finer-than-model patches, or outside the model domain) fall back to
+    bilinear point sampling."""
+
+    def __init__(self, cell_x, cell_y, xq2d, yq2d, point_sampler):
+        from scipy.spatial import cKDTree
+
+        self.out_shape = np.asarray(xq2d).shape
+        nq = int(np.prod(self.out_shape))
+        tq = np.column_stack([np.ravel(xq2d), np.ravel(yq2d)])
+        tree = cKDTree(tq)
+        pts = np.column_stack([np.ravel(cell_x), np.ravel(cell_y)])
+        dist, idx = tree.query(pts, k=1)
+
+        # local target spacing (distance to the +i / +j neighbour centres)
+        # bounds how far a model cell may sit from its assigned centre —
+        # beyond ~the half-diagonal it is outside the target cell
+        xq = np.asarray(xq2d, np.float64)
+        yq = np.asarray(yq2d, np.float64)
+        sx = np.hypot(np.diff(xq, axis=1), np.diff(yq, axis=1))
+        sx = np.concatenate([sx, sx[:, -1:]], axis=1)
+        sy = np.hypot(np.diff(xq, axis=0), np.diff(yq, axis=0))
+        sy = np.concatenate([sy, sy[-1:, :]], axis=0)
+        radius = 0.75 * np.hypot(sx, sy).ravel()
+        keep = dist <= radius[idx]
+
+        self.src_index = np.flatnonzero(keep)
+        self.tgt_index = idx[keep]
+        self.count = np.bincount(self.tgt_index, minlength=nq)
+        self.covered = self.count > 0
+        self._inv_count = np.where(self.covered, 1.0 / np.maximum(self.count, 1), 0.0)
+        self._fallback = point_sampler
+
+    def __call__(self, field: np.ndarray) -> np.ndarray:
+        f = np.ravel(np.asarray(field, np.float64))
+        sums = np.bincount(
+            self.tgt_index, weights=f[self.src_index], minlength=self.covered.size
+        )
+        out = (sums * self._inv_count).reshape(self.out_shape)
+        fb = self._fallback(field)
+        return np.where(self.covered.reshape(self.out_shape), out, fb)
 
 
 class _OverlapRemap:

@@ -410,3 +410,59 @@ def test_moorings_parallel_output_patches_merge(tmp_path):
     np.testing.assert_allclose(
         np.nan_to_num(sic, nan=-9), np.nan_to_num(sic_serial, nan=-9), rtol=1e-6
     )
+
+
+def test_moorings_from_file_conservative(tmp_path):
+    """from_file target grid + use_conservative_remapping: whole-cell binning
+    preserves the domain integral (reference: ConservativeRemappingMeshToGrid
+    on arbitrary grids)."""
+    from scipy.io import netcdf_file
+
+    from nextsim_tpu.output.moorings import (
+        Moorings, _BinnedConservative, _PointSampler,
+    )
+
+    g = Grid.square(nx=32, ny=32, dx=10e3)
+    # target = exact 4x-coarse block centres of the model grid -> the binned
+    # remap must reproduce the block mean exactly
+    xo = g.x0 + (np.arange(8) * 4 + 2.0) * g.dx
+    yo = g.y0 + (np.arange(8) * 4 + 2.0) * g.dx
+    xq, yq = np.meshgrid(xo, yo)
+    cy, cx = np.meshgrid(
+        g.y0 + (np.arange(32) + 0.5) * g.dx,
+        g.x0 + (np.arange(32) + 0.5) * g.dx,
+        indexing="ij",
+    )
+    point = _PointSampler(g.x0 + 0.5 * g.dx, g.y0 + 0.5 * g.dx, g.dx, g.shape, xq, yq)
+    remap = _BinnedConservative(cx, cy, xq, yq, point)
+    rng = np.random.default_rng(0)
+    field = rng.uniform(0.0, 1.0, g.shape)
+    out = remap(field)
+    block = field.reshape(8, 4, 8, 4).mean(axis=(1, 3))
+    np.testing.assert_allclose(out, block, rtol=1e-12)
+    # conservation of the domain mean (equal-area cells)
+    np.testing.assert_allclose(out.mean(), field.mean(), rtol=1e-12)
+
+    # end-to-end: simulator writes moorings on the conservative from-file grid
+    lat, lon = g.projection.inverse(xq, yq)
+    with netcdf_file(os.path.join(tmp_path, "mgrid.nc"), "w", version=2) as nc:
+        nc.createDimension("y", 8)
+        nc.createDimension("x", 8)
+        v = nc.createVariable("latitude", "f4", ("y", "x"))
+        v[:] = np.asarray(lat, np.float32)
+        v = nc.createVariable("longitude", "f4", ("y", "x"))
+        v[:] = np.asarray(lon, np.float32)
+    cfg = toy_cfg(tmp_path, **{
+        "moorings.grid_type": "from_file",
+        "moorings.grid_file": os.path.join(tmp_path, "mgrid.nc"),
+        "moorings.use_conservative_remapping": True,
+    })
+    sim = Simulator(cfg)
+    for _ in range(2):
+        sim.step()
+    files = [f for f in os.listdir(tmp_path) if f.startswith("Moorings")]
+    assert files
+    with netcdf_file(os.path.join(tmp_path, files[0]), "r", mmap=False) as nc:
+        sic = nc.variables["sic"][:]
+        assert sic.shape[1:] == (8, 8)
+        assert np.nanmax(sic) == pytest.approx(1.0, abs=1e-5)
