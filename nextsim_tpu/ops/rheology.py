@@ -90,7 +90,35 @@ def bbm_update(
     ``conc`` and ``thick`` are frozen during the substep loop, so callers can
     hoist ``expC`` and ``Pmax`` out of the loop (the exp/pow transcendentals
     otherwise dominate the VPU critical path)."""
-    sxx, syy, sxy = sigma[0], sigma[1], sigma[2]
+    sxx, syy, sxy, damage = bbm_update_planes(
+        sigma[0], sigma[1], sigma[2], damage, conc, thick, cohesion,
+        time_relaxation_damage, eps11, eps22, eps12, delta_x, dt, p,
+        expC=expC, Pmax=Pmax, heal_rate=heal_rate, rtd_coef=rtd_coef,
+    )
+    return jnp.stack([sxx, syy, sxy]), damage
+
+
+def bbm_update_planes(
+    sxx, syy, sxy,
+    damage,
+    conc,
+    thick,
+    cohesion,
+    time_relaxation_damage,
+    eps11,
+    eps22,
+    eps12,
+    delta_x,
+    dt: float,
+    p: BBMParams,
+    expC=None,
+    Pmax=None,
+    heal_rate=None,
+    rtd_coef=None,
+):
+    """`bbm_update` on separate stress planes (avoids the per-substep
+    stack/unstack of the (3, ny, nx) carry in the momentum loop). Returns
+    (sxx, syy, sxy, damage)."""
 
     # no-ice cells: sigma=0, damage=0 (fe.cpp:4150-4159)
     has_ice = conc > p.min_c_rheology
@@ -172,7 +200,7 @@ def bbm_update(
     sxy = jnp.where(has_ice, sxy, 0.0)
     damage_new = jnp.where(has_ice, damage_new, 0.0)
 
-    return jnp.stack([sxx, syy, sxy]), damage_new
+    return sxx, syy, sxy, damage_new
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,7 +217,17 @@ def vp_update(
 ):
     """Shared (m)EVP stress update (reference: updateSigmaVP,
     finiteelement.cpp:10649-10699 — 'Sylvain's eqs 43-45')."""
-    sxx, syy, sxy = sigma[0], sigma[1], sigma[2]
+    return jnp.stack(vp_update_planes(
+        sigma[0], sigma[1], sigma[2], conc, thick, eps11, eps22, eps12,
+        ralpha1, ralpha2, p,
+    ))
+
+
+def vp_update_planes(
+    sxx, syy, sxy, conc, thick, eps11, eps22, eps12, ralpha1: float, ralpha2,
+    p: EVPParams,
+):
+    """`vp_update` on separate stress planes; returns (sxx, syy, sxy)."""
     re2 = 1.0 / (p.e * p.e)
 
     eps1 = eps11 + eps22
@@ -212,7 +250,7 @@ def vp_update(
     sxx = jnp.where(has_ice, sxx, 0.0)
     syy = jnp.where(has_ice, syy, 0.0)
     sxy = jnp.where(has_ice, sxy, 0.0)
-    return jnp.stack([sxx, syy, sxy])
+    return sxx, syy, sxy
 
 
 def evp_update(sigma, conc, thick, eps11, eps22, eps12, dte: float, dt_step: float, p: EVPParams):

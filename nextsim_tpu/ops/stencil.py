@@ -46,10 +46,15 @@ def strain_rates(u, v, dx: float) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray
     u_sw, u_se, u_nw, u_ne = cell_corners(u)
     v_sw, v_se, v_nw, v_ne = cell_corners(v)
     r = 1.0 / (2.0 * dx)
-    dudx = (u_se + u_ne - u_sw - u_nw) * r
-    dudy = (u_nw + u_ne - u_sw - u_se) * r
-    dvdx = (v_se + v_ne - v_sw - v_nw) * r
-    dvdy = (v_nw + v_ne - v_sw - v_se) * r
+    # factored diagonal differences: dx+dy = 2(ne-sw), dx-dy = 2(se-nw)
+    ua = u_ne - u_sw
+    ub = u_se - u_nw
+    va = v_ne - v_sw
+    vb = v_se - v_nw
+    dudx = (ua + ub) * r
+    dudy = (ua - ub) * r
+    dvdx = (va + vb) * r
+    dvdy = (va - vb) * r
     eps11 = dudx
     eps22 = dvdy
     eps12 = 0.5 * (dudy + dvdx)
