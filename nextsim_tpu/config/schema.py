@@ -362,6 +362,9 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     "tpu.dtype": (str, "float32"),
     "tpu.mesh_shape": (str, "1x1"),  # dp_y x dp_x device mesh
     "tpu.use_pallas": (bool, False),
+    # momentum substep fori_loop unroll factor (4 measured best on v5e:
+    # deeper instruction window hides VPU transcendental latency)
+    "tpu.substep_unroll": (int, 4),
     "tpu.donate_state": (bool, True),
     # fetch the checkFieldsFast verdict every N steps (device work still runs
     # every step; raising this only batches the host readback — useful when

@@ -50,6 +50,7 @@ class DynParams:
     mevp_alpha: float = 500.0
     mevp_beta: float = 500.0
     nit_ow: int = 50  # numerics.nit_ow open-water smoother sweeps
+    substep_unroll: int = 4  # fori_loop unroll (measured best on v5e; tpu.substep_unroll)
     use_young_ice: bool = True  # thermo.newice_type == 4
     use_pallas: bool = False  # fused VMEM-resident substep kernel (tpu.use_pallas)
     bbm: BBMParams = BBMParams()
@@ -208,33 +209,45 @@ def explicit_solve(
     dte_over_mass_const = dtep_const / jnp.maximum(min_m, node_mass)
     beta_cor_const = dtep_const * fcor
 
+    volume = state.thick * area * mask  # loop-invariant
+    evp_P = (
+        p.evp.Pstar * jnp.exp(-p.evp.C * (1.0 - state.conc))
+        if dyn_type in ("evp", "mevp")
+        else None
+    )
+
     def substep(s, carry):
-        vt_u, vt_v, ut_u, ut_v, sigma, damage = carry
+        # sigma carried as separate planes: avoids a (3, ny, nx) stack/unstack
+        # copy per substep on the critical path
+        vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
 
         # ---- rheology (reference: fe.cpp:10426-10441) --------------------
         eps11, eps22, eps12 = stencil.strain_rates(vt_u, vt_v, dx)
         if dyn_type == "bbm":
-            sigma, damage = rheology.bbm_update(
-                sigma, damage, state.conc, state.thick,
+            sxx, syy, sxy, damage = rheology.bbm_update_planes(
+                sxx, syy, sxy, damage, state.conc, state.thick,
                 grid_arrays["cohesion"], state.time_relaxation_damage,
                 eps11, eps22, eps12, dx, dte, p.bbm,
                 expC=bbm_expC, Pmax=bbm_pmax,
                 heal_rate=bbm_heal, rtd_coef=bbm_rtd,
             )
         elif dyn_type == "evp":
-            sigma = rheology.evp_update(
-                sigma, state.conc, state.thick, eps11, eps22, eps12, dte, dt, p.evp
+            T = dt / 3.0
+            sxx, syy, sxy = rheology.vp_update_planes(
+                sxx, syy, sxy, state.conc, state.thick, eps11, eps22, eps12,
+                0.5 * dte / T, 0.5 * dte / T * p.evp.e * p.evp.e, p.evp, P=evp_P,
             )
         elif dyn_type == "mevp":
-            sigma = rheology.mevp_update(
-                sigma, state.conc, state.thick, eps11, eps22, eps12, p.mevp_alpha, p.evp
+            ra = 1.0 / p.mevp_alpha
+            sxx, syy, sxy = rheology.vp_update_planes(
+                sxx, syy, sxy, state.conc, state.thick, eps11, eps22, eps12,
+                ra, ra, p.evp, P=evp_P,
             )
         else:
             raise ValueError(dyn_type)
 
         # ---- gradient terms (reference: fe.cpp:10444-10468) --------------
-        volume = state.thick * area * mask
-        gsu, gsv = stencil.stress_divergence(sigma[0], sigma[1], sigma[2], volume, dx)
+        gsu, gsv = stencil.stress_divergence(sxx, syy, sxy, volume, dx)
         grad_u = grad_ssh_u + gsu
         grad_v = grad_ssh_v + gsv
 
@@ -291,18 +304,10 @@ def explicit_solve(
             ut_u = ut_u + dte * vt_u
             ut_v = ut_v + dte * vt_v
 
-        return (vt_u, vt_v, ut_u, ut_v, sigma, damage)
+        return (vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage)
 
     use_pallas = p.use_pallas
     if use_pallas:
-        from nextsim_tpu.ops import momentum_pallas
-
-        if not momentum_pallas.fits_vmem(*mask.shape):
-            use_pallas = False  # fall back to the XLA loop for big domains
-
-    if use_pallas:
-        from nextsim_tpu.ops import momentum_pallas
-
         cell_inputs = (
             state.conc, state.thick, grid_arrays["cohesion"],
             state.time_relaxation_damage, mask,
@@ -312,16 +317,29 @@ def explicit_solve(
             forcing.ocean_u, forcing.ocean_v, grad_ssh_u, grad_ssh_v,
             solve.astype(vt_u.dtype), sin_ota_signed,
         )
-        vt_u, vt_v, sigma, damage, ut_du, ut_dv = momentum_pallas.substep_loop_pallas(
+        from nextsim_tpu.ops import momentum_pallas
+
+        if momentum_pallas.fits_vmem(*mask.shape):
+            loop = momentum_pallas.substep_loop_pallas
+        else:
+            # pan-Arctic sizes: K-substep-grouped blocked kernel
+            from nextsim_tpu.ops import momentum_pallas_blocked
+
+            loop = momentum_pallas_blocked.substep_loop_blocked
+        vt_u, vt_v, sigma, damage, ut_du, ut_dv = loop(
             cell_inputs, node_inputs, vt_u, vt_v, state.sigma, state.damage,
             steps, dte, dt, float(dx), dyn_type, p,
         )
         ut_u = state.ut_u + ut_du
         ut_v = state.ut_v + ut_dv
     else:
-        carry = (vt_u, vt_v, state.ut_u, state.ut_v, state.sigma, state.damage)
-        carry = lax.fori_loop(0, steps, substep, carry)
-        vt_u, vt_v, ut_u, ut_v, sigma, damage = carry
+        carry = (
+            vt_u, vt_v, state.ut_u, state.ut_v,
+            state.sigma[0], state.sigma[1], state.sigma[2], state.damage,
+        )
+        carry = lax.fori_loop(0, steps, substep, carry, unroll=p.substep_unroll)
+        vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
+        sigma = jnp.stack([sxx, syy, sxy])
 
         if dyn_type == "mevp":
             ut_u = ut_u + dt * vt_u
@@ -332,10 +350,21 @@ def explicit_solve(
     # =====================================================================
     ow = (node_mask > 0.5) & (node_dirichlet < 0.5) & jnp.logical_not(has_mass)
 
+    # Specialised neighbor_mean_nodes: the weight denominator is
+    # loop-invariant, and u,v are identically zero on masked nodes (zeroed
+    # before sub-stepping; the solve/ow masks only touch valid nodes), so the
+    # per-sweep u*node_ok product is a no-op — hoist both out of the 50 sweeps.
+    mp = jnp.pad(node_mask, 1)
+    nbr_rden = 1.0 / jnp.maximum(
+        mp[:-2, 1:-1] + mp[2:, 1:-1] + mp[1:-1, :-2] + mp[1:-1, 2:], 1.0
+    )
+
     def smooth(_, uv):
         u, v = uv
-        u_bar = stencil.neighbor_mean_nodes(u, node_mask)
-        v_bar = stencil.neighbor_mean_nodes(v, node_mask)
+        up = jnp.pad(u, 1)
+        vp = jnp.pad(v, 1)
+        u_bar = (up[:-2, 1:-1] + up[2:, 1:-1] + up[1:-1, :-2] + up[1:-1, 2:]) * nbr_rden
+        v_bar = (vp[:-2, 1:-1] + vp[2:, 1:-1] + vp[1:-1, :-2] + vp[1:-1, 2:]) * nbr_rden
         return (jnp.where(ow, u_bar, u), jnp.where(ow, v_bar, v))
 
     vt_u, vt_v = lax.fori_loop(0, p.nit_ow, smooth, (vt_u, vt_v))

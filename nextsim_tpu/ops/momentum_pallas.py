@@ -12,9 +12,11 @@ same way the reference fuses it into one tight MPI-rank loop.
 
 Applicability: the working set is ~26 arrays x N^2 x 4B, so the single-block
 kernel fits v5e VMEM (~16 MB/core) up to roughly 384x384 cells — the toy and
-regional configs. Larger domains fall back to the XLA path automatically
-(`fits_vmem`); a K-substep-grouped, halo-overlapped blocked variant is the
-follow-up for pan-Arctic sizes.
+regional configs. Larger domains automatically use the K-substep-grouped
+blocked variant (ops/momentum_pallas_blocked.py) when `tpu.use_pallas` is on;
+note that on v5e the XLA loop measured *faster* than both kernels at 608²
+(the loop is VPU-compute-bound, not HBM-bound — see NOTES_NEXT_ROUND.md), so
+`tpu.use_pallas` stays off by default.
 
 The physics code is shared: the kernel body calls the same
 `rheology.bbm_update`/`vp_update` and `stencil.*` functions used by the XLA

@@ -139,14 +139,20 @@ def bbm_update_planes(
         jnp.maximum(dmg_el, 1e-8), p.exponent_relaxation_sigma - 1.0
     )
 
-    # plastic failure tildeP (fe.cpp:4189-4197)
+    # plastic failure tildeP folded into the multiplicator (fe.cpp:4189-4210).
+    # Reference form: tildeP = min(1, Pmax/s) for s = -sigma_n > 0 (else 0),
+    # multiplicator = min(1-1e-12, tv / (tv + dt*(1-tildeP))). Scaling
+    # numerator and denominator by s turns the two divisions into one:
+    # s*(1-tildeP) = max(s - Pmax, 0) in compression, s otherwise. The
+    # numerator floor keeps the fully-plastic-capped limit (0/0 -> 1-1e-12)
+    # when tv*s underflows float32.
     if Pmax is None:
         Pmax = _fast_pow(thick, p.exponent_compression_factor) * p.compression_factor * expC
-    tildeP = jnp.where(sigma_n < 0.0, jnp.minimum(1.0, -Pmax / jnp.minimum(sigma_n, -1e-30)), 0.0)
-
-    multiplicator = jnp.minimum(
-        1.0 - 1e-12, time_viscous / (time_viscous + dt * (1.0 - tildeP))
-    )
+    compressing = sigma_n < 0.0
+    s_mag = jnp.maximum(-sigma_n, 1e-30)
+    s_unyielded = jnp.where(compressing, jnp.maximum(s_mag - Pmax, 0.0), s_mag)
+    tv_s = jnp.maximum(time_viscous * s_mag, 1e-30)
+    multiplicator = jnp.minimum(1.0 - 1e-12, tv_s / (tv_s + dt * s_unyielded))
 
     elasticity = p.young * dmg_el
     d0, d1, d2 = p.dunit
@@ -226,6 +232,7 @@ def vp_update(
 def vp_update_planes(
     sxx, syy, sxy, conc, thick, eps11, eps22, eps12, ralpha1: float, ralpha2,
     p: EVPParams,
+    P=None,  # optional precomputed Pstar*exp(-C*(1-conc)) — loop-invariant
 ):
     """`vp_update` on separate stress planes; returns (sxx, syy, sxy)."""
     re2 = 1.0 / (p.e * p.e)
@@ -233,7 +240,8 @@ def vp_update_planes(
     eps1 = eps11 + eps22
     eps2 = eps11 - eps22
     delta = jnp.sqrt(eps1 * eps1 + (eps2 * eps2 + 4.0 * eps12 * eps12) * re2)
-    P = p.Pstar * jnp.exp(-p.C * (1.0 - conc))
+    if P is None:
+        P = p.Pstar * jnp.exp(-p.C * (1.0 - conc))
     zeta = P / (delta + p.delta_min)
 
     sigma1 = sxx + syy

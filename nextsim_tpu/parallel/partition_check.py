@@ -59,9 +59,16 @@ def substep_partition_report(step_fn, args, mesh, substeps: int) -> Dict:
 
     compiled = jax.jit(step_fn).lower(*args).compile()
     hlo = compiled.as_text()
-    shapes = while_carry_shapes(hlo, substeps)
+    # the substep fori_loop may be unrolled by a factor u (tpu.substep_unroll):
+    # its while op then has trip count substeps/u
+    shapes = []
+    for u in (1, 2, 3, 4, 6, 8, 12, 16, 24):
+        if substeps % u == 0:
+            shapes = while_carry_shapes(hlo, substeps // u)
+            if shapes:
+                break
     if not shapes:
-        raise RuntimeError(f"no while loop with trip count {substeps} found")
+        raise RuntimeError(f"no while loop with trip count {substeps}/unroll found")
 
     dpy, dpx = mesh.devices.shape
     shapes2d = [s for s in shapes if len(s) >= 2]
