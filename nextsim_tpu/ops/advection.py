@@ -14,9 +14,10 @@ Two forms:
 * ``advect_conservative``: for area densities (conc, ice volume, ...);
   exactly conservative over ocean cells (up to boundary fluxes, which vanish
   on closed coasts because coast-node velocities are Dirichlet-zero).
-* ``advect_intensive``: first-order upwind advective form for intensive
-  tracers (damage, temperatures, SST/SSS) — the Eulerian counterpart of
-  "tracer rides the element".
+* ``advect_intensive``: advective form for intensive tracers (damage,
+  stress, temperatures, SST/SSS) — the Eulerian counterpart of "tracer
+  rides the element"; limited second-order by default (first-order upwind
+  available) so damage fronts / linear kinematic features stay sharp.
 
 Face velocities are the mean of the two face nodes; on coastlines both face
 nodes are Dirichlet so the normal flux is identically zero.
@@ -106,8 +107,27 @@ def advect_conservative(
 
 
 def advect_intensive(q, u_face, v_face, dt: float, dx: float, mask, second_order: bool = False):
-    """Advective-form upwind update: dq/dt + u.grad(q) = 0 (monotone)."""
+    """Advective-form update: dq/dt + u.grad(q) = 0.
+
+    ``second_order``: van-Leer-limited MUSCL in advective form — the
+    flux-form update plus the compression correction +q*div(u)*dt, applied
+    per split direction. This keeps damage/stress/temperature fronts sharp
+    (the reference's Lagrangian transport is diffusion-free; first-order
+    upwind smears linear kinematic features). Near coasts the limiter sees
+    the land zero and degrades to first order locally; coast-face fluxes
+    vanish because both face nodes are Dirichlet. Like the reference's
+    post-remap clamps (redistributeVariables, fe.cpp:2219-2268), callers
+    re-clip bounded tracers after transport.
+
+    ``second_order=False``: classic donor-cell upwind (strictly monotone).
+    """
     dtdx = dt / dx
+    if second_order:
+        fx = _flux_x(q, u_face, dtdx, True)
+        q = q - (fx[:, 1:] - fx[:, :-1]) + q * ((u_face[:, 1:] - u_face[:, :-1]) * dtdx)
+        fy = _flux_y(q, v_face, dtdx, True)
+        q = q - (fy[1:, :] - fy[:-1, :]) + q * ((v_face[1:, :] - v_face[:-1, :]) * dtdx)
+        return q * mask
     qp = jnp.pad(q, 1, mode="edge")
     # face-upwind differences; u_face (ny, nx+1)
     uW = u_face[:, :-1]

@@ -77,7 +77,7 @@ def transport_and_ridge(state, grid_arrays, dt: float, p: TransportParams):
         return jnp.where(upd > 0.5, q2, q)
 
     def intens(q):
-        q2 = advection.advect_intensive(q, u_face, v_face, dt, dx, mask)
+        q2 = advection.advect_intensive(q, u_face, v_face, dt, dx, mask, so)
         return jnp.where(upd > 0.5, q2, q)
 
     old_conc = state.conc
