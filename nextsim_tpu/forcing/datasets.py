@@ -306,6 +306,13 @@ _register(DatasetSpec(
     variables=(DataVar("sea_ice_concentration", "obs_conc", a=0.01),),
 ))
 _register(DatasetSpec(
+    name="ice_nic_weekly",
+    filename_mask="NIC_weekly_%Y%m%d_res3.125_pyres.nc",
+    frequency="daily",
+    grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+    variables=(DataVar("sea_ice_concentration", "obs_conc", a=0.01),),
+))
+_register(DatasetSpec(
     name="ice_icesat",
     filename_mask="icesat_icethk_ON06_filled.nc",
     frequency="static",
@@ -416,7 +423,8 @@ _register(DatasetSpec(
     filename_mask="dist2coast_4deg.nc",
     frequency="static",
     grid=GridSpec(kind="regular_latlon", lat_name="lat", lon_name="lon"),
-    variables=(DataVar("dist", "depth", a=1.0),),
+    # km -> m, matching the reference's a:1000 (dataset.cpp dist2coast "dist")
+    variables=(DataVar("dist", "dist", a=1000.0),),
 ))
 _register(DatasetSpec(
     name="ice_nemo",

@@ -431,3 +431,258 @@ def topaz_osisaf_icesat_ice(cfg, grid, state, mask, time_init: float):
             cy * (h_young_min + 0.5 * (h_young_max - h_young_min)) * m, dtype
         )
     return state.replace(**updates)
+
+
+# ---------------------------------------------------------------------------
+# full assimilation blends (reference: assimilateIce dispatch fe.cpp:11634-
+# 11662; assimilate_topazForecastAmsr2Osisaf[Nic]Ice fe.cpp:12124-12404)
+# ---------------------------------------------------------------------------
+
+
+def conc_bins_nic(ci: np.ndarray, weekly: bool):
+    """NIC ice-chart concentration bins -> (min, max) observed total-conc
+    bounds (reference: concBinsNic, fe.cpp:12062-12117). ci<=0 and the
+    uncovered non-weekly ci>0.9 case give (0, 0), exactly as the reference's
+    zero-initialised outputs do."""
+    ci = np.asarray(ci)
+    if not weekly:
+        lo = np.select([ci <= 0.0, ci <= 0.45, ci <= 0.9], [0.0, 0.1, 0.8], 0.0)
+        hi = np.select([ci <= 0.0, ci <= 0.45, ci <= 0.9], [0.0, 0.8, 1.0], 0.0)
+    else:
+        conds = [ci <= 0.0, ci <= 0.2, ci <= 0.3, ci <= 0.5, ci <= 0.7, ci <= 0.9, ci <= 1.0]
+        lo = np.select(conds, [0.0, 0.1, 0.2, 0.4, 0.6, 0.8, 0.9], 0.0)
+        hi = np.select(conds, [0.0, 0.3, 0.4, 0.6, 0.8, 1.0, 1.0], 0.0)
+    return lo, hi
+
+
+def _young_h_clamp(cy, h_young, h_young_min, h_young_max):
+    """Clamp young-ice volume between the bin's min/max mean thickness
+    (reference: fe.cpp:12250-12257, 12391-12398)."""
+    min_h = h_young_min * cy
+    max_h = (h_young_min + 0.5 * (h_young_max + h_young_min)) * cy
+    return np.clip(h_young, min_h, max_h)
+
+
+def assimilate_topaz_amsr2_osisaf(cfg, grid, state, mask, time_init: float):
+    """Full OSISAF+AMSR2 concentration assimilation onto the restart state
+    (reference: assimilate_topazForecastAmsr2OsisafIce, fe.cpp:12283-12404).
+
+    * OSISAF replaces conc with the (2*model + 1*obs)/3 blend where the
+      model or TOPAZ background has ice, OSISAF conc > 0.15 and the cell is
+      > 25 km from the coast.
+    * AMSR2 (higher resolution) lowers conc where it sees openings
+      (amsr2 < conc and amsr2 > 0.15).
+    * thickness / ridge_ratio / damage scale with the conc change; cells
+      ending with conc<0.01 or mean thickness < hmin are cleared.
+    * young ice: obs young conc = max(amsr2-conc, 0), blended with the
+      reference's (sigma_osisaf*model + sigma_mod*obs)/(sigma_amsr2+
+      sigma_mod) weights (kept verbatim, fe.cpp:12384-12386), volume
+      clamped to the young thickness window.
+
+    The reference also loads OSISAF ice type and TOPAZ thickness/snow but
+    never uses them in this blend (the snow lines are commented out,
+    fe.cpp:12352-12355) — not read here. The applied conc delta accumulates
+    into conc_upd for thermo.use_assim_flux.
+    """
+    t_obs = time_init - 0.5
+    osisaf = _read_obs(cfg, grid, "ice_osisaf", t_obs)
+    amsr2 = _read_obs(cfg, grid, "ice_amsr2", t_obs)
+    d2c = _read_obs(cfg, grid, "dist2coast", time_init)
+    bg = _read_ice_fields(cfg, grid, "topaz_nrt", time_init)
+
+    dtype = state.conc.dtype
+    m = np.asarray(mask)
+    c_model = np.asarray(state.conc)
+    h_model = np.asarray(state.thick)
+    snow = np.asarray(state.snow_thick)
+    ridge = np.asarray(state.ridge_ratio)
+    damage = np.asarray(state.damage)
+
+    sigma_mod, sigma_amsr2, sigma_osisaf = 1.0, 0.5, 2.0
+
+    topaz_conc = np.where(bg["conc"] > 1e-14, bg["conc"], 0.0)
+    osisaf_conc = osisaf.get("obs_conc", np.zeros(grid.shape))
+    amsr2_conc = amsr2.get("obs_conc", np.zeros(grid.shape))
+    dist = d2c.get("dist", np.full(grid.shape, np.inf))
+
+    conc = c_model.copy()
+    use_osisaf = (
+        ((topaz_conc > 0.0) | (c_model > 0.0))
+        & (osisaf_conc > 0.15)
+        & (dist > 25.0e3)
+    )
+    conc = np.where(
+        use_osisaf,
+        (sigma_osisaf * conc + sigma_mod * osisaf_conc) / (sigma_osisaf + sigma_mod),
+        conc,
+    )
+    conc = np.where((amsr2_conc < conc) & (amsr2_conc > 0.15), amsr2_conc, conc)
+
+    # scale extensive/intensive fields with the conc change (fe.cpp:12359-12369)
+    had_ice = c_model > 0.01
+    ratio = np.where(had_ice, conc / np.maximum(c_model, 1e-12), 0.0)
+    thick = np.where(had_ice, h_model * ratio, 0.0)
+    ridge = np.where(had_ice, ridge * ratio, 0.0)
+    damage = np.where(had_ice, damage * ratio, damage)
+
+    gone = (conc < 0.01) | (thick < conc * phys_hmin())
+    conc = np.where(gone, 0.0, conc)
+    thick = np.where(gone, 0.0, thick)
+    snow = np.where(gone, 0.0, snow)
+    ridge = np.where(gone, 0.0, ridge)
+
+    updates = dict(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(thick * m, dtype),
+        snow_thick=jnp.asarray(snow * m, dtype),
+        ridge_ratio=jnp.asarray(ridge * m, dtype),
+        damage=jnp.asarray(damage * m, dtype),
+        conc_upd=state.conc_upd + jnp.asarray((conc - c_model) * m, dtype),
+    )
+
+    if cfg["thermo.newice_type"] == 4:
+        cy = np.asarray(state.conc_young)
+        hy = np.asarray(state.h_young)
+        young_obs = np.maximum(amsr2_conc - conc, 0.0)
+        cy_new = (sigma_osisaf * cy + sigma_mod * young_obs) / (sigma_amsr2 + sigma_mod)
+        hy_new = _young_h_clamp(
+            cy_new, hy, cfg["thermo.h_young_min"], cfg["thermo.h_young_max"]
+        )
+        updates["conc_young"] = jnp.asarray(cy_new * m, dtype)
+        updates["h_young"] = jnp.asarray(hy_new * m, dtype)
+
+    return state.replace(**updates)
+
+
+def assimilate_topaz_amsr2_osisaf_nic(cfg, grid, state, mask, time_init: float,
+                                      weekly: bool = False):
+    """NIC ice-chart assimilation (reference:
+    assimilate_topazForecastAmsr2OsisafNicIce, fe.cpp:12124-12283): clear
+    sub-threshold cells, then force total concentration into the NIC chart's
+    [min, max] bin, adding/removing young ice first (young-ice runs) or
+    adjusting thick-ice conc directly. NIC conc > 1 means masked: the model
+    is left unchanged there (fe.cpp:12184-12189)."""
+    nic = _read_obs(
+        cfg, grid, "ice_nic_weekly" if weekly else "ice_nic", time_init - 0.5
+    )
+
+    dtype = state.conc.dtype
+    m = np.asarray(mask)
+    conc = np.asarray(state.conc).copy()
+    thick = np.asarray(state.thick).copy()
+    snow = np.asarray(state.snow_thick).copy()
+    ridge = np.asarray(state.ridge_ratio).copy()
+    conc0 = conc.copy()
+
+    nic_conc = nic.get("obs_conc", np.full(grid.shape, 2.0))
+
+    # mean thickness used for added ice (fe.cpp:12169-12172)
+    hi = np.where(conc >= 0.1, thick / np.maximum(conc, 1e-12), thick)
+
+    gone = (conc < 0.01) | (hi < phys_hmin())
+    conc = np.where(gone, 0.0, conc)
+    thick = np.where(gone, 0.0, thick)
+    snow = np.where(gone, 0.0, snow)
+    ridge = np.where(gone, 0.0, ridge)
+
+    masked_obs = nic_conc > 1.0
+    lo, hi_bin = conc_bins_nic(nic_conc, weekly)
+
+    updates = {}
+    if cfg["thermo.newice_type"] == 4:
+        cy = np.asarray(state.conc_young).copy()
+        hy = np.asarray(state.h_young).copy()
+        h_young_min = cfg["thermo.h_young_min"]
+        h_young_max = cfg["thermo.h_young_max"]
+        h_new_mean = h_young_min + (h_young_max / 2.0 - h_young_min) * 0.5
+
+        total = conc + cy
+        # below the bin: raise young ice to lo-conc (fe.cpp:12200-12226)
+        below = (~masked_obs) & (total < lo)
+        tgt_b = np.maximum(lo - conc, 0.0)
+        grow = tgt_b > cy
+        hy_b = np.where(grow, hy + h_new_mean * (tgt_b - cy),
+                        hy * tgt_b / np.maximum(cy, 1e-12))
+        cy = np.where(below, tgt_b, cy)
+        hy = np.where(below, hy_b, hy)
+
+        # above the bin: shrink young ice toward hi_bin; if even zero young
+        # ice overshoots, reduce thick ice (fe.cpp:12227-12249)
+        above = (~masked_obs) & (conc + cy > hi_bin) & (~below)
+        tgt_a = hi_bin - conc  # may be negative
+        some_young = tgt_a >= 0.0
+        grow_a = tgt_a > cy
+        hy_a = np.where(grow_a, hy + h_new_mean * (tgt_a - cy),
+                        hy * np.maximum(tgt_a, 0.0) / np.maximum(cy, 1e-12))
+        cy = np.where(above & some_young, tgt_a, cy)
+        hy = np.where(above & some_young, hy_a, hy)
+        # no young ice fits: clear it and cap thick ice
+        kill = above & (~some_young)
+        thick = np.where(kill, thick * np.maximum(conc + tgt_a, 0.0)
+                         / np.maximum(conc, 1e-12), thick)
+        conc = np.where(kill, np.maximum(conc + tgt_a, 0.0), conc)
+        cy = np.where(kill, 0.0, cy)
+        hy = np.where(kill, 0.0, hy)
+
+        hy = np.where(masked_obs, hy, _young_h_clamp(cy, hy, h_young_min, h_young_max))
+        updates["conc_young"] = jnp.asarray(cy * m, dtype)
+        updates["h_young"] = jnp.asarray(hy * m, dtype)
+    else:
+        # no young-ice category: move thick-ice conc into the bin
+        # (fe.cpp:12261-12279)
+        below = (~masked_obs) & (conc < lo)
+        tgt_b = (lo + 0.5 * (lo + hi_bin)) / 2.0
+        thick = np.where(below, thick + np.maximum(hi, 0.5) * (tgt_b - conc), thick)
+        conc = np.where(below, tgt_b, conc)
+
+        above = (~masked_obs) & (conc > hi_bin) & (~below)
+        tgt_a = (hi_bin + 0.5 * (lo + hi_bin)) / 2.0
+        thick = np.where(above, thick * tgt_a / np.maximum(conc, 1e-12), thick)
+        conc = np.where(above, tgt_a, conc)
+
+    return state.replace(
+        conc=jnp.asarray(conc * m, dtype),
+        thick=jnp.asarray(thick * m, dtype),
+        snow_thick=jnp.asarray(snow * m, dtype),
+        ridge_ratio=jnp.asarray(ridge * m, dtype),
+        conc_upd=state.conc_upd + jnp.asarray((conc - conc0) * m, dtype),
+        **updates,
+    )
+
+
+def assimilate_ice(cfg, grid, state, mask, time_init: float):
+    """Dispatch per ice-type (reference: assimilateIce, fe.cpp:11634-11662).
+    Only the TOPAZ-forecast blend families support assimilation."""
+    ice_type = cfg["setup.ice-type"]
+    if ice_type == "topaz4_nrt-amsr2-osisaf":
+        return assimilate_topaz_amsr2_osisaf(cfg, grid, state, mask, time_init)
+    if ice_type == "topaz4_nrt-amsr2-osisaf-nic":
+        return assimilate_topaz_amsr2_osisaf_nic(cfg, grid, state, mask, time_init, False)
+    if ice_type == "topaz4_nrt-amsr2-osisaf-nic_weekly":
+        return assimilate_topaz_amsr2_osisaf_nic(cfg, grid, state, mask, time_init, True)
+    raise ValueError(
+        f"invalid choice for data assimilation of the ice: {ice_type!r}"
+    )
+
+
+def assimilate_slab_ocean(cfg, state, ocean_temp, ocean_salt, freezing_point_fn):
+    """Slab-ocean assimilation at restart (reference: assimilateSlabOcean,
+    fe.cpp:11351-11396): equal-weight blend of model SST/SSS with the
+    forcing analysis (constant ocean: SSS toward 1.8/mu, SST toward +1)."""
+    sigma_mod = sigma_obs = 1.0
+    ocean_type = cfg["setup.ocean-type"]
+    if ocean_type == "constant":
+        mu = cfg["thermo.freezingpoint_mu"]
+        sss = (sigma_obs * state.sss + sigma_mod * (1.8 / mu)) / (sigma_obs + sigma_mod)
+        sst = (sigma_obs * state.sst + sigma_mod * 1.0) / (sigma_obs + sigma_mod)
+        return state.replace(sss=sss, sst=sst)
+    if ocean_type == "coupled":
+        raise ValueError("invalid ocean data assimilation")  # fe.cpp:11391
+    from nextsim_tpu.core import constants as phys
+
+    sss_obs = jnp.maximum(phys.si, jnp.asarray(ocean_salt, state.sss.dtype))
+    sst_obs = jnp.maximum(freezing_point_fn(sss_obs), jnp.asarray(ocean_temp, state.sst.dtype))
+    sss = (sigma_obs * state.sss + sigma_mod * sss_obs) / (sigma_obs + sigma_mod)
+    sst = (sigma_obs * state.sst + sigma_mod * sst_obs) / (sigma_obs + sigma_mod)
+    sst = jnp.maximum(freezing_point_fn(sss), sst)
+    return state.replace(sss=sss, sst=sst)

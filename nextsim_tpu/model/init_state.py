@@ -94,6 +94,11 @@ def _init_ice(cfg, grid, state, mask) -> State:
         return iid.model_output_ice(cfg, grid, state, mask, t0, "ice_cice")
     if ice_type == "topaz4_rean-osisaf-icesat":
         return iid.topaz_osisaf_icesat_ice(cfg, grid, state, mask, t0)
+    # NOTE: the reference's IceType enum also lists ARBITRARY, MITGCM,
+    # TARGET and BINARY (enums.hpp:48,52,53,61) but they are unreachable
+    # there too: no entry in the str2conc config map (fe.cpp:1327-1347) and
+    # no case in the initIce switch (fe.cpp:11400-11456). Every name a
+    # reference config can actually select dispatches above.
     raise NotImplementedError(f"unknown ice init scheme {ice_type!r}")
 
 

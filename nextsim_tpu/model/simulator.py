@@ -183,6 +183,11 @@ class Simulator:
             from nextsim_tpu.output.restart import read_restart
 
             read_restart(self)
+            # DataAssimilation at restart (reference: init() fe.cpp:7055-7058
+            # -> DataAssimilation fe.cpp:509-525: slab ocean then ice, then
+            # consistency check)
+            if cfg["setup.use_assimilation"]:
+                self.data_assimilation()
         if cfg["restart.write_initial_restart"]:
             from nextsim_tpu.output.restart import write_restart
 
@@ -558,6 +563,29 @@ class Simulator:
                     f"max rel_error={float(max_rel):.2f}"
                 )
         self.timer.tock("step")
+
+    def data_assimilation(self) -> None:
+        """Full restart-time data assimilation (reference: DataAssimilation,
+        fe.cpp:509-525): assimilateSlabOcean then assimilateIce (the OSISAF/
+        AMSR2/NIC blends, fe.cpp:12124-12404), then checkConsistency."""
+        from nextsim_tpu.model.init_ice_datasets import (
+            assimilate_ice,
+            assimilate_slab_ocean,
+        )
+
+        forcing = self.forcing_provider(self.current_time, self.time_init)
+        mu = self.cfg["thermo.freezingpoint_mu"]
+        fp = lambda sss: -mu * sss  # noqa: E731  (linear freezing point)
+        self.state = assimilate_slab_ocean(
+            self.cfg, self.state, forcing.ocean_temp, forcing.ocean_salt, fp
+        )
+        self.state = assimilate_ice(
+            self.cfg, self.grid, self.state, self.grid_arrays["mask"],
+            self.time_init,
+        )
+        self.state = init_state.check_consistency(
+            self.cfg, self.state, self.grid_arrays["mask"]
+        )
 
     def assimilate(self, obs_conc) -> None:
         """Assimilate an observed concentration analysis into the state
