@@ -608,7 +608,9 @@ class Simulator:
         t = self.current_time
         if self.moorings is not None:
             if not skip_moorings_means:
-                self.moorings.update_means(self.state, self.diag)
+                self.moorings.update_means(
+                    self.state, self.diag, getattr(self, "last_forcing", None)
+                )
             self.moorings.maybe_output(self)
         if self.drifters:
             # move drifters with the accumulated displacement (UT) at the

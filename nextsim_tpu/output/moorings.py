@@ -50,7 +50,11 @@ MOORING_VARIABLES: Dict[str, MVar] = {
         MVar("snow", "snt", "Surface Snow Thickness", "surface_snow_thickness", "m", "state", "snow_thick"),
         MVar("damage", "damage", "Sea Ice Damage", "sea_ice_damage", "1", "state", "damage"),
         MVar("ridge_ratio", "ridge_ratio", "Sea Ice Volume Fraction of Ridged Ice", "sea_ice_volume_fraction_of_ridged_ice", "1", "state", "ridge_ratio"),
-        MVar("tsurf", "ts", "Surface Temperature", "surface_temperature", "degC", "state", "tice", 0),
+        # tsurf is the COMPOSITE surface temperature over ice, young ice and
+        # open water (reference: D_tsurf, fe.cpp:7875-7883); the bare ice
+        # surface temperature is tsurf_ice -> "tsi" (gridoutput.hpp:336-340)
+        MVar("tsurf", "ts", "Surface Temperature", "surface_temperature", "degC", "computed", "tsurf"),
+        MVar("tsurf_ice", "tsi", "Sea Ice Surface Temperature", "sea_ice_surface_temperature", "degC", "state", "tice", 0),
         MVar("t1", "t1", "Ice Temperature 1", "ice_temperature_1", "degC", "state", "tice", 1),
         MVar("t2", "t2", "Ice Temperature 2", "ice_temperature_2", "degC", "state", "tice", 2),
         MVar("sst", "sst", "Sea Surface Temperature", "sea_surface_temperature", "degC", "state", "sst"),
@@ -106,12 +110,52 @@ MOORING_VARIABLES: Dict[str, MVar] = {
         MVar("dmean", "dmean", "Mean floe size", "mean_floe_size", "m", "diag", "dmean"),
         MVar("tauwix", "tauwix", "Eastward Stress waves on ice", "eastward_stress_waves_on_ice", "Pa", "diag", "tauwix"),
         MVar("tauwiy", "tauwiy", "Northward Stress waves on ice", "northward_stress_waves_on_ice", "Pa", "diag", "tauwiy"),
+        # principal-stress / yield diagnostics (reference: D_sigma,
+        # fe.cpp:7886-7887; gridoutput.hpp:679-690,567-571). NB the
+        # reference declares d_crit but never fills it (no updateMeans case;
+        # the constructed logic_error at fe.cpp:9021 is not thrown) — here it
+        # is the actual Mohr-Coulomb/compressive distance-to-yield.
+        MVar("sigma_n", "sigma_n", "Normal internal stress", "normal_internal_stress", "Pa", "computed", "sigma_n"),
+        MVar("sigma_s", "sigma_s", "Shear internal stress", "shear_internal_stress", "Pa", "computed", "sigma_s"),
+        MVar("d_crit", "d_crit", "Distance_To_Yield_Criterion", "distance_to_yield_criterion", "1", "computed", "d_crit"),
+        # MYI budget rates (reference: gridoutput.hpp:630-662)
+        MVar("dci_ridge_myi", "dci_ridge_myi", "myi area_change rate due to ridging", "myi_area_change_rate_due_to_ridging", "/day", "diag", "del_ci_ridge_myi"),
+        MVar("dci_mlt_myi", "dci_mlt_myi", "myi area_change rate due to melt", "myi_area_change_rate_due_to_melt", "/day", "diag", "del_ci_mlt_myi"),
+        MVar("dvi_mlt_myi", "dvi_mlt_myi", "myi volume_change rate due to melt", "myi_volume_change_rate_due_to_melt", "/day", "diag", "del_vi_mlt_myi"),
+        MVar("dci_rplnt_myi", "dci_rplnt_myi", "myi area change rate due to replenishment", "myi_area_change_rate_due_to_replenishment", "/day", "diag", "del_ci_rplnt_myi"),
+        MVar("dvi_rplnt_myi", "dvi_rplnt_myi", "myi volume_change rate due to replenishment", "myi_volume_change_rate_due_to_replenishment", "m/day", "diag", "del_vi_rplnt_myi"),
+        # nodal atmosphere->ice stress diagnostics (gridoutput.hpp:693-704)
+        MVar("tau_ax", "tau_ax", "Eastward Stress at Ice Surface", "eastward_stress_at_ice_surface", "Pa", "diag", "tau_ax"),
+        MVar("tau_ay", "tau_ay", "Northward Stress at Ice Surface", "northward_stress_at_ice_surface", "Pa", "diag", "tau_ay"),
+        # forcing variables (reference: gridoutput.hpp:824-956)
+        MVar("tair", "t2m", "2 metre air temperature", "2_metre_air_temperature", "C", "forcing", "tair"),
+        MVar("sphuma", "hus", "specific humidity", "specific_humidity", "kg/kg", "forcing", "sphuma"),
+        MVar("mixrat", "mixrat", "humidity mixing ratio", "humidity_mixing_ratio", "1", "forcing", "mixrat"),
+        MVar("d2m", "d2m", "dew point temperature", "dew_point_temperature", "C", "forcing", "dair"),
+        MVar("mslp", "psl", "pressure at sea level", "pressure_at_sea_level", "Pa", "forcing", "mslp"),
+        MVar("Qsw_in", "ssrd", "downward shortwave radiation flux", "surface_downwelling_shortwave_flux_in_air", "W/m^2", "forcing", "qsw_in"),
+        MVar("Qlw_in", "strd", "downward thermal radiation flux", "surface_downwelling_longwave_flux_in_air", "W/m^2", "forcing", "qlw_in"),
+        MVar("tcc", "tcc", "total cloud cover", "cloud_area_fraction", "1", "forcing", "tcc"),
+        MVar("snowfall", "sf", "snowfall rate", "snowfall_rate", "kg/m^2/s", "forcing", "snowfall"),
+        MVar("precip", "tp", "total precipitation rate", "total_precipitation_rate", "kg/m^2/s", "forcing", "precip"),
+        MVar("snowfr", "snowfr", "fraction of precipitation that is snow", "snow_fraction_of_precipitation", "1", "forcing", "snowfr"),
+        MVar("wind_x", "wndx", "Wind X velocity", "wind_x_velocity", "m/s", "forcing", "wind_u"),
+        MVar("wind_y", "wndy", "Wind Y velocity", "wind_y_velocity", "m/s", "forcing", "wind_v"),
+        MVar("wspeed", "wspeed", "Wind speed", "wind_speed", "m/s", "computed", "wspeed"),
+        MVar("mld", "mld", "ocean mixed layer depth", "ocean_mixed_layer_depth", "m", "forcing", "mld"),
+        MVar("ocean_temp", "ocean_temp", "ocean temperature forcing", "ocean_temperature_forcing", "degree_Celcius", "forcing", "ocean_temp"),
+        MVar("ocean_salt", "ocean_salt", "ocean salinity forcing", "ocean_salinity_forcing", "1e-3", "forcing", "ocean_salt"),
     ]
 }
 
 #: nodal vector variables (reference: velocity pair siu/siv)
 VECTOR_VARIABLES = {"velocity": (("siu", "Sea Ice X Velocity", "sea_ice_x_velocity", "m s-1", "vt_u"),
                                  ("siv", "Sea Ice Y Velocity", "sea_ice_y_velocity", "m s-1", "vt_v"))}
+
+#: vector component pairs rotated to east/north when moorings.false_easting
+#: is off (reference: vectorial_variables in initMoorings + rotateVectors,
+#: gridoutput.cpp:578-622)
+VECTOR_PAIRS = (("siu", "siv"), ("tau_ax", "tau_ay"), ("wndx", "wndy"))
 
 
 class Moorings:
@@ -220,6 +264,24 @@ class Moorings:
         # land-sea mask on the output grid (reference: setLSM/applyLSM)
         self.lsm = (self._cell_interp(grid.mask) > 0.5).astype(np.float32)
 
+        # output vector orientation (reference: moorings.false_easting,
+        # fe.cpp:1459-1460; rotation in rotateVectors, gridoutput.cpp:578-622:
+        # angle = projection rotation - point longitude -> east/north)
+        self.false_easting = bool(cfg["moorings.false_easting"])
+        if not self.false_easting:
+            ang = np.deg2rad(grid.projection.lon0) - np.deg2rad(self.lon)
+            self._rot_cos = np.cos(ang)
+            self._rot_sin = np.sin(ang)
+
+        # parameters for the computed diagnostics (tsurf composite, principal
+        # stresses, distance-to-yield)
+        from nextsim_tpu.model import params as _params
+
+        self._use_young = cfg["thermo.newice_type"] == 4
+        self._c_fix, self._c_alea = _params.cohesion_params(cfg, grid.dx)
+        self._tan_phi = cfg["dynamics.tan_phi"]
+        self._compr_strength = cfg["dynamics.compr_strength"] * _params.scale_coef(grid.dx)
+
         self.reset_means()
         self._records: Dict[str, List] = {}  # per-file record buffers
         self._last_output_time = time_init
@@ -229,12 +291,12 @@ class Moorings:
         self._accum: Dict[str, jnp.ndarray] = {}
         self._count = 0
 
-    def update_means(self, state, diag: Dict):
+    def update_means(self, state, diag: Dict, forcing=None):
         """Accumulate on the model grid (device; reference: updateMeans,
         fe.cpp:8518-9037). In snapshot mode (moorings.snapshot) the latest
         value replaces the running sum, so the record is instantaneous."""
         for name in self.names:
-            arr = self._extract(name, state, diag)
+            arr = self._extract(name, state, diag, forcing)
             if arr is None:
                 continue
             for key, a in arr.items():
@@ -244,7 +306,41 @@ class Moorings:
                     self._accum[key] = self._accum.get(key, 0.0) + a
         self._count = 1 if self.snapshot else self._count + 1
 
-    def _extract(self, name, state, diag) -> Optional[Dict[str, jnp.ndarray]]:
+    def _computed(self, field: str, state, forcing):
+        """Derived diagnostics (reference: D_tsurf/D_sigma fe.cpp:7862-7890;
+        wspeed gridoutput.hpp:928; d_crit per the BBM yield criterion,
+        ops/rheology.py)."""
+        if field == "tsurf":
+            conc_tot = state.conc
+            t = state.conc * state.tice[0]
+            if self._use_young:
+                conc_tot = conc_tot + state.conc_young
+                t = t + state.conc_young * state.tsurf_young
+            return t + (1.0 - conc_tot) * state.sst
+        if field == "wspeed":
+            if forcing is None:
+                return None
+            return jnp.hypot(forcing.wind_u, forcing.wind_v)
+        sxx, syy, sxy = state.sigma[0], state.sigma[1], state.sigma[2]
+        sigma_n = 0.5 * (sxx + syy)
+        if field == "sigma_n":
+            return sigma_n
+        sigma_s = jnp.hypot(0.5 * (sxx - syy), sxy)
+        if field == "sigma_s":
+            return sigma_s
+        if field == "d_crit":
+            cohesion = self._c_fix + self._c_alea * state.random_number
+            compressive = sigma_n < -self._compr_strength
+            num = jnp.where(compressive, -self._compr_strength, cohesion)
+            den = jnp.where(
+                compressive,
+                jnp.minimum(sigma_n, -1e-30),
+                jnp.maximum(sigma_s + self._tan_phi * sigma_n, 1e-30),
+            )
+            return num / den
+        return None
+
+    def _extract(self, name, state, diag, forcing=None) -> Optional[Dict[str, jnp.ndarray]]:
         if name in VECTOR_VARIABLES:
             (unm, *_, uf), (vnm, *_, vf) = VECTOR_VARIABLES[name]
             return {unm: getattr(state, uf), vnm: getattr(state, vf)}
@@ -258,6 +354,16 @@ class Moorings:
             return {mv.nc_name: a}
         if mv.source == "diag" and diag and mv.field in diag:
             return {mv.nc_name: diag[mv.field]}
+        if mv.source == "forcing" and forcing is not None:
+            a = getattr(forcing, mv.field, None)
+            if a is None:
+                return None
+            return {mv.nc_name: a}
+        if mv.source == "computed":
+            a = self._computed(mv.field, state, forcing)
+            if a is None:
+                return None
+            return {mv.nc_name: a}
         return None
 
     # ------------------------------------------------------------------
@@ -280,6 +386,16 @@ class Moorings:
             else:
                 out = self._node_interp(mean)
             fields[key] = np.where(self.lsm > 0.5, out, np.nan).astype(np.float32)
+
+        # rotate vector pairs to east/north orientation (reference:
+        # rotateVectors, gridoutput.cpp:578-622 — skipped under false
+        # easting, fe.cpp:1459-1460)
+        if not self.false_easting:
+            for ukey, vkey in VECTOR_PAIRS:
+                if ukey in fields and vkey in fields:
+                    u, v = fields[ukey], fields[vkey]
+                    fields[ukey] = (self._rot_cos * u - self._rot_sin * v).astype(np.float32)
+                    fields[vkey] = (self._rot_sin * u + self._rot_cos * v).astype(np.float32)
         self.reset_means()
 
         fname = self._filename(t)
