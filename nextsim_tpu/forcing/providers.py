@@ -77,7 +77,10 @@ class ConstantForcing:
 
     def __call__(self, t_days: float, time_init_days: float) -> Forcing:
         f = self.spinup_factor(t_days, time_init_days)
-        return Forcing(
+        cached = getattr(self, "_cache", None)
+        if cached is not None and cached[0] == f:
+            return cached[1]
+        forcing = Forcing(
             wind_u=self._wind_u * f,
             wind_v=self._wind_v * f,
             ocean_u=self._ocean_u * f,
@@ -85,6 +88,8 @@ class ConstantForcing:
             ssh=self._ssh * f,
             **self._static,
         )
+        self._cache = (f, forcing)
+        return forcing
 
 
 def make_provider(cfg, grid, dtype=jnp.float32):

@@ -288,8 +288,11 @@ class Simulator:
         Moorings accumulation moves inside the scan (running sums carried),
         so nothing per-step leaks back to the host; violations are maxed
         over the chunk (same semantics as tpu.check_interval batching).
-        Forcing and the thermo date flags are those of the chunk's first
-        step — a documented approximation for k > 1.
+        Forcing and the thermo date flags are threaded per step: the chunk
+        takes the first step's bundle plus a leading-(k-1)-stacked tail the
+        scan consumes as xs — chunked execution is exact under time-varying
+        forcing (same per-step reloads as the reference's checkReloadDatetime
+        cadence, fe.cpp:8130-8138).
         """
         raw = self.raw_step_fn
         moorings = self.moorings
@@ -303,11 +306,12 @@ class Simulator:
                         out.update(d)
             return out
 
-        def chunk_fn(state, forcing, tinfo):
-            state, diag, viol = raw(state, forcing, tinfo)
+        def chunk_fn(state, forcing0, forcings_rest, tinfo0, tinfos_rest):
+            state, diag, viol = raw(state, forcing0, tinfo0)
             acc = extract(state, diag)
 
-            def body(carry, _):
+            def body(carry, xs):
+                forcing, tinfo = xs
                 st, vmax, a, _dg = carry
                 st, dg, vl = raw(st, forcing, tinfo)
                 ex = extract(st, dg)
@@ -317,7 +321,7 @@ class Simulator:
                 return (st, jnp.maximum(vmax, vl), a, dg), None
 
             (state, viol, acc, diag), _ = jax.lax.scan(
-                body, (state, viol, acc, diag), None, length=k - 1
+                body, (state, viol, acc, diag), (forcings_rest, tinfos_rest)
             )
             last_extract = extract(state, diag)  # snapshot-mode moorings
             return state, diag, viol, acc, last_extract
@@ -332,23 +336,31 @@ class Simulator:
         k = self._chunk_k
         self.timer.tick("step")
         self.timer.tick("forcing")
-        forcing = self.forcing_provider(
-            self.current_time + self.dt * dates.DAYS_IN_SEC, self.time_init
-        )
-        if self.wim is not None and (self.pcpt // k) % max(1, self.wim_couplingfreq // k) == 0:
-            self._wim_exchange(forcing)
-            forcing = self._apply_wim_forcing(forcing)
-        tinfo = self.time_info()
+        dt_days = self.dt * dates.DAYS_IN_SEC
+        t0 = self.current_time
+        forcings = [
+            self.forcing_provider(t0 + (i + 1) * dt_days, self.time_init)
+            for i in range(k)
+        ]
+        if self.wim is not None:
+            if (self.pcpt // k) % max(1, self.wim_couplingfreq // k) == 0:
+                self._wim_exchange(forcings[0])
+            forcings = [self._apply_wim_forcing(f) for f in forcings]
+        tinfos = [self.time_info_at(t0 + i * dt_days) for i in range(k)]
+        # stack the tail along a leading axis for the scan's xs (None leaves
+        # are skipped by tree.map; the leaf structure is static per provider)
+        forcings_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *forcings[1:])
+        tinfos_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *tinfos[1:])
         self.timer.tock("forcing")
 
         self.timer.tick("device_step")
         if self._chunk_fn is None:
             self._chunk_fn = self._build_chunk_fn(k)
         self.state, self.diag, viol, acc, last_ex = self._chunk_fn(
-            self.state, forcing, tinfo
+            self.state, forcings[0], forcings_rest, tinfos[0], tinfos_rest
         )
         self.timer.tock("device_step")
-        self.last_forcing = forcing
+        self.last_forcing = forcings[-1]
         self.pcpt += k
 
         if self.moorings is not None and acc:
@@ -398,9 +410,11 @@ class Simulator:
     def time_info(self):
         """Per-step scalar time flags for the thermo tracers (reference:
         fe.cpp:5655-5660 step_in_day; 5999, 6061, 6050 date checks)."""
-        import jax.numpy as jnp
+        return self.time_info_at(self.current_time)
 
-        t = self.current_time
+    def time_info_at(self, t: float):
+        """time_info evaluated at an arbitrary model time (chunked stepping
+        threads one per fused step through the scan)."""
         num_steps_in_day = max(1, round(phys.days_in_sec / self.dt))
         step_in_day = 1 + round(num_steps_in_day * (t % 1.0))
         md = dates.datenum_to_string(t, "%m%d")
@@ -682,6 +696,9 @@ class Simulator:
         k = self._chunk_k
         if k > 1 and self.coupler is not None:
             self.log.info("tpu.steps_per_call ignored: coupler needs per-step puts")
+            k = self._chunk_k = 1
+        if k > 1 and self.nesting is not None:
+            self.log.info("tpu.steps_per_call ignored: nesting relaxes per step")
             k = self._chunk_k = 1
         self.log.info(f"run: {n_steps} steps of {self.dt}s" + (f" ({k}/call)" if k > 1 else ""))
         ptime = max(1, n_steps * self.cfg["debugging.ptime_percent"] // 100)

@@ -164,3 +164,48 @@ def test_steps_per_call_matches_per_step(tmp_path):
             np.asarray(sim2.moorings._accum[key]),
             atol=1e-5,
         )
+
+
+def test_steps_per_call_time_varying_forcing(tmp_path):
+    """Per-step forcing and date flags are threaded through the fused scan:
+    under time-varying forcing (the spin-up ramp changes the wind every
+    step) chunked execution must match the per-step path, not freeze the
+    chunk's first forcing (reference reloads forcing every step,
+    fe.cpp:8130-8138)."""
+    import jax.numpy as jnp
+
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    def cfg(k, path):
+        return Config({
+            "grid.preset": "square",
+            "grid.nx": 24, "grid.ny": 24, "grid.resolution": 10e3,
+            "simul.timestep": 200, "simul.time_init": "2015-10-16 00:00:00",
+            "simul.duration": 200.0 * 6 / 86400.0,
+            "dynamics.substeps": 60,
+            "thermo.use_thermo_forcing": False,
+            "setup.ice-type": "constant",
+            "setup.atmosphere-type": "constant",
+            "setup.ocean-type": "constant",
+            "ideal_simul.constant_wind_u": 12.0,
+            # ramp spans the whole 6-step run: wind differs at every step
+            "simul.spinup_duration": 200.0 * 6 / 86400.0,
+            "tpu.steps_per_call": k,
+            "tpu.donate_state": False,
+            "output.exporter_path": str(path),
+        })
+
+    sim1 = Simulator(cfg(1, tmp_path / "a"))
+    sim1.run()
+    sim3 = Simulator(cfg(3, tmp_path / "b"))
+    sim3.run()
+    assert sim1.pcpt == sim3.pcpt == 6
+    np.testing.assert_allclose(
+        np.asarray(sim1.state.vt_u), np.asarray(sim3.state.vt_u), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim1.state.damage), np.asarray(sim3.state.damage), atol=1e-5
+    )
+    # the ramp really was active: final wind is below the configured constant
+    assert float(np.asarray(sim3.last_forcing.wind_u).max()) <= 12.0 + 1e-6
