@@ -404,6 +404,10 @@ ENUMS: Dict[str, List[str]] = {
     "wim.advopt": ["notperiodic", "y-periodic", "xy-periodic"],
     "wim.fsdopt": ["PowerLawSmooth", "RG"],
     "nextwim.coupling-option": ["naive", "break_on_mesh", "run_on_mesh"],
+    # reference str2oblk map, fe.cpp:1254-1263 (AeroBulk algorithm family)
+    "thermo.ocean_bulk_formula": [
+        "nextsim", "coare3.0", "coare3.6", "ncar", "ecmwf", "andreas",
+    ],
 }
 
 _TRUE = {"true", "1", "yes", "on"}

@@ -63,7 +63,9 @@ class ThermoParams:
     reset_freeze_days: float = 3.0
     equal_melting: bool = True
     use_parameterised_lw: bool = False
-    ocean_bulk_formula: str = "nextsim"  # nextsim | coare (AeroBulk analog)
+    # nextsim | coare3.0 | coare3.6 | ncar | ecmwf | andreas (AeroBulk family,
+    # reference fe.cpp:1254-1263)
+    ocean_bulk_formula: str = "nextsim"
 
 
 def thermo_params(cfg) -> ThermoParams:

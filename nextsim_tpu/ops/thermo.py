@@ -710,8 +710,9 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     wspeed = wind_speed_cells(forcing)
     sphuma = specific_humidity_air(p, forcing)
 
-    if getattr(p, "ocean_bulk_formula", "nextsim") in ("coare", "coare3.5", "ncar", "ecmwf"):
-        ow = ow_bulk_fluxes_coare(p, state, forcing, wspeed, sphuma)
+    obf = getattr(p, "ocean_bulk_formula", "nextsim")
+    if obf != "nextsim":
+        ow = ow_bulk_fluxes_aerobulk(p, state, forcing, wspeed, sphuma, scheme=obf)
     else:
         ow = ow_bulk_fluxes(p, state, forcing, wspeed, sphuma)
     qow = ow["qow"]
@@ -1271,75 +1272,33 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
 
 
 # ---------------------------------------------------------------------------
-# COARE-style ocean bulk fluxes (the AeroBulk alternative; reference:
-# #ifdef AEROBULK path of OWBulkFluxes, fe.cpp:5115-5167, and the
-# thermo.ocean_bulk_formula option)
+# AeroBulk-family ocean bulk fluxes (reference: #ifdef AEROBULK path of
+# OWBulkFluxes, fe.cpp:5041-5100, dispatching thermo.ocean_bulk_formula over
+# the str2oblk map fe.cpp:1254-1263). The turbulent-scale algorithms live in
+# ops/aerobulk.py; this wrapper assembles the radiative terms exactly as the
+# nextsim formula does.
 # ---------------------------------------------------------------------------
 
 
-def ow_bulk_fluxes_coare(p: ThermoParams, state, forcing, wspeed, sphuma, n_iter: int = 3):
-    """COARE 3.0-style iterative bulk fluxes over open water: stability-
-    corrected transfer coefficients from a fixed-point Obukhov iteration
-    (fixed n_iter passes — branch-free for jit). Radiative terms are shared
-    with the nextsim formula. Replaces the external AeroBulk Fortran library
-    the reference optionally links."""
+def ow_bulk_fluxes_aerobulk(
+    p: ThermoParams, state, forcing, wspeed, sphuma, scheme: str = "coare3.0"
+):
+    """Open-water fluxes through one of the five named AeroBulk algorithms
+    (coare3.0 / coare3.6 / ncar / ecmwf / andreas). Fixed-point
+    Monin-Obukhov iteration, branch-free for jit."""
+    from nextsim_tpu.ops import aerobulk
+
     sst = state.sst
     sstK = sst + phys.tfrwK
-    tairK = forcing.tair + phys.tfrwK
     sphumw = 0.98 * specific_humidity_water(sst)  # salinity reduction factor
     rhoair = air_density(forcing.mslp, forcing.tair, sphuma)
-    zu = p.zref_wind
-    zt = p.zref_temp
-    g = phys.g
-    kv = phys.vonKarman
     u = jnp.maximum(wspeed, 0.1)
 
-    # neutral 10m transfer coefficients (Smith 1988 charnock start)
-    charnock = 0.011
-    ustar = 0.035 * u
-    dT = sst - forcing.tair - phys.Gamma_d * zt
-    dq = sphumw - sphuma
-
-    def one_iter(carry, _):
-        ustar, tstar, qstar = carry
-        z0 = charnock * ustar**2 / g + 0.11 * 1.5e-5 / jnp.maximum(ustar, 1e-4)
-        z0t = jnp.minimum(1.15e-4, 5.5e-5 * (z0 * ustar / 1.5e-5) ** -0.6)
-        tv = tairK * (1.0 + 0.61 * sphuma)
-        # Obukhov length
-        wstar_flux = tstar * (1.0 + 0.61 * sphuma) + 0.61 * tairK * qstar
-        L = tv * ustar**2 / jnp.where(
-            jnp.abs(wstar_flux) > 1e-12, kv * g * wstar_flux, 1e-12
-        )
-        zeta_u = jnp.clip(zu / L, -10.0, 10.0)
-        zeta_t = jnp.clip(zt / L, -10.0, 10.0)
-
-        def psi_m(z):
-            x = (1.0 - 16.0 * jnp.minimum(z, 0.0)) ** 0.25
-            unstable = (
-                2.0 * jnp.log(0.5 * (1.0 + x))
-                + jnp.log(0.5 * (1.0 + x * x))
-                - 2.0 * jnp.arctan(x) + 0.5 * jnp.pi
-            )
-            stable = -5.0 * jnp.maximum(z, 0.0)
-            return jnp.where(z < 0.0, unstable, stable)
-
-        def psi_h(z):
-            x = (1.0 - 16.0 * jnp.minimum(z, 0.0)) ** 0.25
-            unstable = 2.0 * jnp.log(0.5 * (1.0 + x * x))
-            stable = -5.0 * jnp.maximum(z, 0.0)
-            return jnp.where(z < 0.0, unstable, stable)
-
-        cd_sqrt = kv / (jnp.log(zu / z0) - psi_m(zeta_u))
-        ch_fac = kv / (jnp.log(zt / jnp.maximum(z0t, 1e-9)) - psi_h(zeta_t))
-        ustar = jnp.maximum(cd_sqrt * u, 1e-4)
-        tstar = ch_fac * (-dT)
-        qstar = ch_fac * (-dq)
-        return (ustar, tstar, qstar), None
-
-    carry = (ustar, jnp.zeros_like(u), jnp.zeros_like(u))
-    for _ in range(n_iter):
-        carry, _ = one_iter(carry, None)
-    ustar, tstar, qstar = carry
+    scales = aerobulk.turbulent_scales(
+        scheme, u, sst, forcing.tair, sphuma, sphumw,
+        zu=p.zref_wind, zt=p.zref_temp,
+    )
+    ustar, tstar, qstar = scales["ustar"], scales["tstar"], scales["qstar"]
 
     qsh = -rhoair * phys.cpa * ustar * tstar
     lv = phys.Lv0 - 2.36418e3 * sst + 1.58927 * sst**2 - 6.14342e-2 * sst**3

@@ -272,9 +272,14 @@ def test_thermo_conserves_freshwater_sign_conventions():
     assert np.isfinite(np.asarray(diag["qa"])).all()
 
 
-def test_coare_bulk_fluxes_comparable_to_nextsim():
-    """The COARE option produces fluxes of the same sign and order as the
-    nextsim formula in a typical cold-advection case."""
+AEROBULK_SCHEMES = ("coare3.0", "coare3.6", "ncar", "ecmwf", "andreas")
+
+
+@pytest.mark.parametrize("scheme", AEROBULK_SCHEMES)
+def test_aerobulk_fluxes_comparable_to_nextsim(scheme):
+    """Each AeroBulk algorithm (reference str2oblk map, fe.cpp:1254-1263)
+    produces fluxes of the same sign and order as the nextsim formula in a
+    typical cold-advection case."""
     cfg = Config(overrides={"setup.atmosphere-type": "constant",
                             "ideal_simul.constant_wind_u": 8.0,
                             "simul.spinup_duration": 0.0})
@@ -289,13 +294,54 @@ def test_coare_bulk_fluxes_comparable_to_nextsim():
     wspeed = thermo.wind_speed_cells(f)
     sphuma = thermo.specific_humidity_air(p, f)
     a = thermo.ow_bulk_fluxes(p, s, f, wspeed, sphuma)
-    b = thermo.ow_bulk_fluxes_coare(p, s, f, wspeed, sphuma)
+    b = thermo.ow_bulk_fluxes_aerobulk(p, s, f, wspeed, sphuma, scheme=scheme)
     for k in ("qsh", "qlh", "qow"):
         va, vb = float(a[k][1, 1]), float(b[k][1, 1])
         assert np.sign(va) == np.sign(vb), k
         assert 0.2 < abs(vb) / max(abs(va), 1e-9) < 5.0, (k, va, vb)
     # both report positive drag coefficients
     assert float(b["tau_ow"][1, 1]) > 0.0
+
+
+@pytest.mark.parametrize("scheme", AEROBULK_SCHEMES)
+def test_aerobulk_drag_coefficient_physics(scheme):
+    """Transfer-coefficient sanity across the scheme family: near-neutral
+    10-m drag at 10 m/s sits in the observed range, drag grows with wind in
+    the rough regime, and stable stratification suppresses heat transfer."""
+    from nextsim_tpu.ops import aerobulk
+
+    def scales(u, sst, tair):
+        shp = (4, 4)
+        full = lambda v: jnp.full(shp, float(v), jnp.float32)
+        sphumw = 0.98 * thermo.specific_humidity_water(full(sst))
+        # near-saturation air humidity, 80% RH proxy
+        sphuma = 0.8 * thermo.specific_humidity_water(full(tair))
+        return aerobulk.turbulent_scales(
+            scheme, full(u), full(sst), full(tair), sphuma, sphumw
+        )
+
+    neutral = scales(10.0, 5.0, 5.0 - 0.0098 * 2.0)  # cancel the lapse term
+    cd10 = float(neutral["cd"][0, 0])
+    assert 0.8e-3 < cd10 < 2.2e-3, cd10
+
+    lo, hi = scales(5.0, 5.0, 5.0), scales(20.0, 5.0, 5.0)
+    assert float(hi["cd"][0, 0]) > float(lo["cd"][0, 0])
+    assert float(hi["ustar"][0, 0]) > 2.0 * float(lo["ustar"][0, 0])
+
+    unstable = scales(8.0, 6.0, 1.0)   # warm water under cold air
+    stable = scales(8.0, 1.0, 6.0)     # cold water under warm air
+    assert float(unstable["ch"][0, 0]) > float(stable["ch"][0, 0])
+    for s in (neutral, lo, hi, unstable, stable):
+        for v in s.values():
+            assert np.isfinite(np.asarray(v)).all()
+
+
+def test_aerobulk_unknown_scheme_raises():
+    from nextsim_tpu.ops import aerobulk
+
+    z = jnp.zeros((2, 2))
+    with pytest.raises(ValueError, match="unknown aerobulk scheme"):
+        aerobulk.turbulent_scales("coare", z + 5.0, z, z, z, z)
 
 
 def test_winton_finite_under_fuzzed_extremes(rng):
