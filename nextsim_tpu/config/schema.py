@@ -330,6 +330,15 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     "wimsetup.nwavefreq": (int, 1),
     "wimsetup.nwavedirn": (int, 16),
     "wimsetup.wave-type": (str, "set_in_wim"),
+    # --- WIM's own grid (reference: wimgrid.* in modules/wim options,
+    # gridinfo.cpp:26-124). nx=0 derives the grid from the model extent at
+    # wimgrid.dx resolution; used when nextwim.coupling-option=naive.
+    # Cells are square (dx only; the reference's dy collapses onto dx).
+    "wimgrid.nx": (int, 0),
+    "wimgrid.ny": (int, 0),
+    "wimgrid.dx": (float, 4e3),
+    "wimgrid.xmin": (float, 0.0),
+    "wimgrid.ymin": (float, 0.0),
     "wim.atten": (bool, True),
     "wim.scatmod": (str, "dissipated"),
     "wim.young": (float, 5.49e9),

@@ -135,13 +135,22 @@ class Simulator:
             self.coupler = Coupler(cfg, self.grid, self.time_init)
 
         # waves-in-ice module (reference: modules/wim; nextwim.* options in
-        # options_wim.cpp). Runs co-located on the model grid at
-        # nextwim.couplingfreq cadence; returns wave stress + breakage.
+        # options_wim.cpp). coupling-option=break_on_mesh/run_on_mesh run
+        # co-located on the model grid; =naive runs the WIM on its own grid
+        # (wimgrid.*) with a mask-aware regrid each exchange (reference
+        # gridinfo.cpp mesh<->grid interpolation).
         self.wim = None
+        self._wim_regrid = None
         if cfg["nextwim.use_wim"]:
             from nextsim_tpu.wim import Wim, WimParams
 
-            self.wim = Wim(WimParams.from_config(cfg), self.grid, self.dtype)
+            wim_grid = self.grid
+            if cfg["nextwim.coupling-option"] == "naive":
+                from nextsim_tpu.wim.regrid import Regridder, make_wim_grid
+
+                wim_grid = make_wim_grid(cfg, self.grid)
+                self._wim_regrid = Regridder(self.grid, wim_grid, self.dtype)
+            self.wim = Wim(WimParams.from_config(cfg), wim_grid, self.dtype)
             self.wim_couplingfreq = max(1, cfg["nextwim.couplingfreq"])
             self._wim_stress = None
             self._wim_wlbk = None
@@ -443,8 +452,13 @@ class Simulator:
 
         cfg = self.cfg
         p = self.wim.p
+        rg = self._wim_regrid
         conc = self.state.conc + self.state.conc_young
         vol = self.state.thick + self.state.h_young  # effective thickness = volume
+        if rg is not None:
+            # WIM on its own grid: ice fields over, stress/breakage back
+            # (reference gridinfo.cpp mesh<->grid interpolation)
+            conc, vol = rg.to_wim(conc), rg.to_wim(vol)
         if self._wim_nfloes is None:
             # unbroken pack on first call (dfloepackinit, iceinfo.hpp:61)
             self._wim_nfloes = jnp.where(
@@ -455,7 +469,13 @@ class Simulator:
         # (wimsetup.wave-type=ww3a/eraiw_1deg), else the configured constant
         # sea state over open water (wave-type=set_in_wim)
         if forcing is not None and getattr(forcing, "swh", None) is not None:
-            self.wim.set_wave_fields(forcing.swh, forcing.mwp, forcing.mwd)
+            if rg is not None:
+                self.wim.set_wave_fields(
+                    rg.to_wim(forcing.swh), rg.to_wim(forcing.mwp),
+                    rg.to_wim(forcing.mwd),
+                )
+            else:
+                self.wim.set_wave_fields(forcing.swh, forcing.mwp, forcing.mwd)
         else:
             ones = jnp.ones_like(conc)
             self.wim.set_wave_fields(
@@ -464,13 +484,23 @@ class Simulator:
         diag = self.wim.run(self.wim_couplingfreq * self.dt)
         self._wim_nfloes = self.wim.ice["nfloes"]
         broken = self.wim.ice["broken"]
+        dfloe = self.wim.ice["dfloe"]
+        tau_x, tau_y = diag["tau_x"], diag["tau_y"]
+        if rg is not None:
+            tau_x, tau_y = rg.to_model(tau_x), rg.to_model(tau_y)
+            broken = rg.to_model(broken)
+            # blend the broken-zone floe size only where breakage reached the
+            # model grid, so pack-size bleed from bilinear edges can't dilute
+            # the breaking wavelength below
+            dfloe = jnp.where(broken > 0.0, rg.to_model(dfloe), p.dfloe_pack_init)
 
         if cfg["nextwim.applywavestress"]:
             # cell stress -> node average for the momentum solver
-            cnt = jnp.maximum(cells_to_node_sum(jnp.ones_like(conc)), 1.0)
+            ones_m = jnp.ones(self.grid.shape, self.dtype)
+            cnt = jnp.maximum(cells_to_node_sum(ones_m), 1.0)
             self._wim_stress = (
-                cells_to_node_sum(diag["tau_x"]) / cnt,
-                cells_to_node_sum(diag["tau_y"]) / cnt,
+                cells_to_node_sum(tau_x) / cnt,
+                cells_to_node_sum(tau_y) / cnt,
             )
         if self.fsd_params is not None:
             # feed breakage into the FSD pipeline through the wlbk entry
@@ -478,9 +508,7 @@ class Simulator:
             # breaking WAVELENGTH in metres with >=499 meaning "no breaking
             # waves" (fsd.wave_breakup); WIM breaking sets dfloe = lam/2, so
             # the wavelength over the broken zone is 2*dfloe.
-            self._wim_wlbk = jnp.where(
-                broken > 0.0, 2.0 * self.wim.ice["dfloe"], 500.0
-            )
+            self._wim_wlbk = jnp.where(broken > 0.0, 2.0 * dfloe, 500.0)
         elif cfg["nextwim.wim_damage_mesh"]:
             # no FSD: raise damage directly where floes broke
             # (nextwim.wim_damage_value, options_wim.cpp)
@@ -529,7 +557,10 @@ class Simulator:
                 self.diag.setdefault("tauwix", self._wim_stress[0])
                 self.diag.setdefault("tauwiy", self._wim_stress[1])
             if self.fsd_params is None and self.wim.ice is not None:
-                self.diag.setdefault("dmax", self.wim.ice["dfloe"])
+                dfloe = self.wim.ice["dfloe"]
+                if self._wim_regrid is not None:
+                    dfloe = self._wim_regrid.to_model(dfloe)
+                self.diag.setdefault("dmax", dfloe)
 
         if self.nesting is not None:
             from nextsim_tpu.ops.nesting import apply_nesting

@@ -60,6 +60,9 @@ def write_restart(sim, name: Optional[str] = None) -> str:
     # in the reference restart)
     if getattr(sim, "wim", None) is not None and getattr(sim, "_wim_nfloes", None) is not None:
         arrays["__wim_nfloes"] = np.asarray(sim._wim_nfloes)
+        # wave-spectrum persistence: resumes keep sub-window swell memory
+        # instead of re-spinning the spectrum from incident waves
+        arrays["__wim_sdf"] = np.asarray(sim.wim.sdf)
     fname = os.path.join(path, f"restart_{name}.npz")
     np.savez_compressed(fname, __meta__=json.dumps(meta), **arrays)
     return fname
@@ -97,6 +100,8 @@ def read_restart(sim, basename: Optional[str] = None) -> None:
                     d.alive = data[f"__drifter{i}_alive"]
         if getattr(sim, "wim", None) is not None and "__wim_nfloes" in data:
             sim._wim_nfloes = jnp.asarray(data["__wim_nfloes"], sim.dtype)
+            if "__wim_sdf" in data and data["__wim_sdf"].shape == sim.wim.sdf.shape:
+                sim.wim.sdf = jnp.asarray(data["__wim_sdf"], sim.dtype)
 
     rtype = cfg["restart.type"]
     if rtype == "arbitrary":

@@ -532,3 +532,120 @@ def test_wim_feeds_fsd_breakup(tmp_path):
     assert small > small0  # area moved out of the unbroken bin
     dmg = np.asarray(sim.state.damage)
     assert dmg[broken > 0].max() > 0
+
+
+# ---------------------------------------------------------------------------
+# WIM on its own grid (nextwim.coupling-option=naive; reference
+# modules/wim/src/gridinfo.cpp mesh<->grid interpolation)
+# ---------------------------------------------------------------------------
+
+
+def test_regridder_roundtrip_and_constants():
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.grid.grid import Grid
+    from nextsim_tpu.wim.regrid import Regridder, make_wim_grid
+
+    mg = Grid.square(nx=48, ny=32, dx=4e3)
+    cfg = Config({"wimgrid.dx": 8e3})
+    wg = make_wim_grid(cfg, mg)
+    assert wg.shape == (16, 24)  # ceil(extent / wim dx)
+    rg = Regridder(mg, wg)
+
+    # constants survive the mask-aware weights exactly (partition of unity)
+    ones = jnp.ones(mg.shape)
+    w = np.asarray(rg.to_wim(ones))
+    assert np.allclose(w[np.asarray(wg.mask) > 0], 1.0, atol=1e-6)
+    back = np.asarray(rg.to_model(rg.to_wim(ones)))
+    assert np.allclose(back[np.asarray(mg.mask) > 0], 1.0, atol=1e-6)
+
+    # a smooth field round-trips within coarsening error away from coasts
+    x, y = mg.cell_xy()
+    f = jnp.asarray(np.sin(x / 40e3) * np.cos(y / 30e3), jnp.float32)
+    rt = np.asarray(rg.to_model(rg.to_wim(f)))
+    interior = np.zeros(mg.shape, bool)
+    interior[4:-4, 4:-4] = True
+    err = np.abs(rt - np.asarray(f))[interior]
+    assert err.max() < 0.05, err.max()
+
+
+def test_simulator_wim_own_grid(tmp_path):
+    """Full coupling through a coarser WIM grid: stress comes back on model
+    nodes, breakage feeds damage on the model grid, nfloes lives on the WIM
+    grid."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    cfg = Config({
+        "simul.time_init": "2008-03-01",
+        "simul.duration": 1.0,
+        "simul.timestep": 900,
+        "simul.spinup_duration": 0.0,
+        "grid.preset": "square",
+        "grid.nx": 40, "grid.ny": 16, "grid.resolution": 4e3,
+        "setup.ice-type": "constant_partial",
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "setup.dynamics-type": "free_drift",
+        "thermo.use_thermo_forcing": False,
+        "nextwim.use_wim": True,
+        "nextwim.couplingfreq": 2,
+        "nextwim.coupling-option": "naive",
+        "wimgrid.dx": 8e3,
+        "wimsetup.nwavefreq": 5,
+        "wimsetup.nwavedirn": 8,
+        "wim.steady": False,
+        "wim.hsinc": 4.0,
+        "output.exporter_path": str(tmp_path),
+    })
+    sim = Simulator(cfg)
+    assert sim.wim.shape == (8, 20)  # coarsened 2x
+    for _ in range(3):
+        sim.step()
+    # wave stress mapped back to MODEL nodes
+    assert sim._wim_stress is not None
+    assert sim._wim_stress[0].shape == (17, 41)
+    assert np.isfinite(np.asarray(sim._wim_stress[0])).all()
+    # nfloes prognostic lives on the WIM grid
+    assert np.asarray(sim._wim_nfloes).shape == (8, 20)
+    # breakage (if any) raised model-grid damage
+    broken = np.asarray(sim.wim.ice["broken"])
+    dmg = np.asarray(sim.state.damage)
+    assert dmg.shape == (16, 40)
+    assert np.isfinite(dmg).all()
+    if broken.any():
+        assert dmg.max() >= 0.5
+
+
+def test_wim_sdf_restart_persistence(tmp_path):
+    """The wave spectrum participates in restart: a resumed run keeps the
+    attenuated in-ice spectrum instead of re-spinning from incident waves."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+    from nextsim_tpu.output.restart import read_restart, write_restart
+
+    base = {
+        "simul.time_init": "2008-03-01",
+        "simul.duration": 1.0,
+        "simul.timestep": 900,
+        "simul.spinup_duration": 0.0,
+        "grid.preset": "square",
+        "grid.nx": 30, "grid.ny": 12, "grid.resolution": 4e3,
+        "setup.ice-type": "constant_partial",
+        "setup.dynamics-type": "free_drift",
+        "thermo.use_thermo_forcing": False,
+        "nextwim.use_wim": True,
+        "nextwim.couplingfreq": 1,
+        "wimsetup.nwavefreq": 3, "wimsetup.nwavedirn": 8,
+        "wim.steady": False,
+        "output.exporter_path": str(tmp_path),
+    }
+    sim = Simulator(Config(dict(base)))
+    for _ in range(2):
+        sim.step()
+    write_restart(sim, name="wimsdf")
+    sdf0 = np.asarray(sim.wim.sdf)
+    assert (sdf0 > 0).any()
+
+    sim2 = Simulator(Config(dict(base)))
+    read_restart(sim2, basename="wimsdf")
+    np.testing.assert_array_equal(np.asarray(sim2.wim.sdf), sdf0)
