@@ -159,7 +159,7 @@ class Simulator:
         # nesting sponge (reference: forcingNesting fe.cpp:11060-11130)
         self.nesting = None
         if cfg["nesting.use_nesting"]:
-            from nextsim_tpu.model.nesting_source import NestingSource
+            from nextsim_tpu.model.nesting_source import make_nesting_source
             from nextsim_tpu.ops.nesting import (
                 NestingParams,
                 distance_to_open_boundary,
@@ -169,7 +169,7 @@ class Simulator:
             npar = NestingParams.from_config(cfg)
             dist = distance_to_open_boundary(self.grid)
             weight = jnp.asarray(nudge_weight(dist, npar, self.dt), self.dtype)
-            source = NestingSource(cfg["nesting.outer_mesh"], self.grid)
+            source = make_nesting_source(cfg, self.grid)
             self.nesting = (npar, weight, source)
 
         opd = cfg["output.output_per_day"]
@@ -538,6 +538,19 @@ class Simulator:
         forcing = self.forcing_provider(self.current_time + self.dt * dates.DAYS_IN_SEC, self.time_init)
         if self.coupler is not None:
             forcing = self.coupler.apply_received(forcing)
+        self._nesting_outer = None
+        if self.nesting is not None:
+            _, _, source = self.nesting
+            self._nesting_outer = source.fields_at(
+                self.current_time + self.dt * dates.DAYS_IN_SEC
+            )
+            if self.cfg["nesting.use_ocean_nesting"] and self._nesting_outer:
+                # outer-run SST/SSS become the slab-ocean nudging targets
+                # (reference: forcingOcean ocean-nesting branch,
+                # fe.cpp:11133-11143)
+                o = self._nesting_outer
+                if "sst" in o and "sss" in o:
+                    forcing = forcing.replace(ocean_temp=o["sst"], ocean_salt=o["sss"])
         if self.wim is not None and self.pcpt % self.wim_couplingfreq == 0:
             self.timer.tick("wim")
             self._wim_exchange(forcing)
@@ -565,10 +578,9 @@ class Simulator:
         if self.nesting is not None:
             from nextsim_tpu.ops.nesting import apply_nesting
 
-            npar, weight, source = self.nesting
-            outer = source.fields_at(self.current_time + self.dt * dates.DAYS_IN_SEC)
-            if outer:
-                self.state = apply_nesting(self.state, outer, weight, npar)
+            npar, weight, _ = self.nesting
+            if self._nesting_outer:
+                self.state = apply_nesting(self.state, self._nesting_outer, weight, npar)
 
         self.pcpt += 1
 

@@ -78,7 +78,12 @@ def nudge_weight(dist_cells: np.ndarray, p: NestingParams, dt: float) -> np.ndar
     return np.clip(dt * rate, 0.0, 1.0).astype(np.float32)
 
 
-NESTED_TRACERS = ("conc", "thick", "snow_thick", "damage", "ridge_ratio")
+NESTED_TRACERS = (
+    "conc", "thick", "snow_thick", "damage", "ridge_ratio",
+    # young-ice tracers nest too when the category is active
+    # (reference: nestingIce fe.cpp:4900-4905)
+    "conc_young", "h_young", "hs_young",
+)
 
 
 def apply_nesting(state, outer: Dict[str, jnp.ndarray], weight, p: NestingParams):
@@ -86,7 +91,7 @@ def apply_nesting(state, outer: Dict[str, jnp.ndarray], weight, p: NestingParams
     (reference: nestingIce fe.cpp:4878-4915, nestingDynamics 4915-4966)."""
     updates = {}
     for name in NESTED_TRACERS:
-        if name in outer:
+        if name in outer and getattr(state, name, None) is not None:
             cur = getattr(state, name)
             updates[name] = cur + weight * (outer[name] - cur)
     if p.nest_dynamic_vars:

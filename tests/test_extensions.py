@@ -203,3 +203,132 @@ def test_realfft_matches_numpy():
     np.testing.assert_allclose(np.asarray(im), want.imag, atol=1e-4)
     back = realfft.idft_real_leading(re, im)
     np.testing.assert_allclose(np.asarray(back), s, atol=1e-5)
+
+
+def _write_nesting_nc(path, lat2d, lon2d, t_hours, fields):
+    """Reference-format nesting file (dataset.cpp:3396-4212 variable names,
+    curvilinear latitude/longitude, time in hours since 1900)."""
+    from scipy.io import netcdf_file
+
+    ny, nx = lat2d.shape
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("time", len(t_hours))
+        nc.createDimension("y", ny)
+        nc.createDimension("x", nx)
+        tv = nc.createVariable("time", "f8", ("time",))
+        tv[:] = t_hours
+        tv.units = b"hours since 1900-01-01 00:00:00"
+        la = nc.createVariable("latitude", "f8", ("y", "x"))
+        la[:] = lat2d
+        lo = nc.createVariable("longitude", "f8", ("y", "x"))
+        lo[:] = lon2d
+        for name, val in fields.items():
+            v = nc.createVariable(name, "f4", ("time", "y", "x"))
+            v[:] = np.full((len(t_hours), ny, nx), val, np.float32)
+
+
+def _make_nesting_files(tmp_path, model_grid, name="outer"):
+    from nextsim_tpu.utils import dates as d
+
+    # coarse outer grid covering the model extent with margin
+    outer = Grid.square(
+        nx=model_grid.nx // 2 + 4, ny=model_grid.ny // 2 + 4,
+        dx=2 * model_grid.dx,
+        x0=model_grid.x0 - 4 * model_grid.dx,
+        y0=model_grid.y0 - 4 * model_grid.dx,
+    )
+    lat2d, lon2d = outer.cell_latlon()
+    fields = {
+        "sea_ice_area_fraction": 0.8,
+        "sea_ice_thickness": 1.2,
+        "surface_snow_thickness": 0.1,
+        "sea_ice_damage": 0.0,
+        "ridge_ratio": 0.0,
+        "sea_surface_temperature": -1.0,
+        "sea_surface_salinity": 33.0,
+        "sea_ice_x_velocity": 0.25,
+        "sea_ice_y_velocity": -0.1,
+    }
+    for day in ("2008-03-01", "2008-03-02"):
+        t0 = d.string_to_datenum(day)
+        _write_nesting_nc(
+            os.path.join(tmp_path, f"nesting_{name}_{day.replace('-', '')}.nc"),
+            lat2d, lon2d, [t0 * 24.0, (t0 + 0.5) * 24.0], fields,
+        )
+    return fields
+
+
+def test_nesting_netcdf_source(tmp_path):
+    """Reference-format nesting_[outer]_[yyyymmdd].nc files are ingested
+    through the dataset layer: curvilinear interp, time bracketing, nodal
+    velocities, sigma stacking (dataset.cpp nesting_* descriptors)."""
+    import os as _os
+
+    from nextsim_tpu.model.nesting_source import NestingNetCDFSource
+    from nextsim_tpu.utils import dates as d
+
+    mg = Grid.square(nx=24, ny=20, dx=10e3)
+    fields = _make_nesting_files(str(tmp_path), mg)
+    src = NestingNetCDFSource("outer", str(tmp_path), mg)
+    t = d.string_to_datenum("2008-03-01") + 0.25
+    out = src.fields_at(t)
+    assert out is not None
+    interior = np.s_[4:-4, 4:-4]
+    np.testing.assert_allclose(
+        np.asarray(out["conc"])[interior], 0.8, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["thick"])[interior], 1.2, atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(out["sst"])[interior], -1.0, atol=1e-3)
+    assert out["vt_u"].shape == (21, 25)  # nodal
+    np.testing.assert_allclose(
+        np.asarray(out["vt_u"])[interior], 0.25, atol=1e-3
+    )
+
+
+def test_simulator_nests_from_netcdf(tmp_path):
+    """End-to-end: an open-boundary run nudges toward the outer NetCDF
+    fields in the sponge band, and use_ocean_nesting redirects the
+    slab-ocean targets (fe.cpp:11133-11143)."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    data_dir = tmp_path / "nest_data"
+    data_dir.mkdir()
+    out_dir = tmp_path / "out"
+    mg = Grid.square(nx=24, ny=20, dx=10e3, boundary="open")
+    _make_nesting_files(str(data_dir), mg)
+
+    cfg = Config({
+        "simul.time_init": "2008-03-01 00:00:00",
+        "simul.duration": 1.0,
+        "simul.timestep": 900,
+        "simul.spinup_duration": 0.0,
+        "grid.preset": "square",
+        "grid.nx": 24, "grid.ny": 20, "grid.resolution": 10e3,
+        "grid.boundary": "open",
+        "setup.ice-type": "constant",
+        "ideal_simul.init_concentration": 0.3,
+        "ideal_simul.init_thickness": 0.5,
+        "setup.dynamics-type": "free_drift",
+        "thermo.use_thermo_forcing": False,
+        "nesting.use_nesting": True,
+        "nesting.use_ocean_nesting": True,
+        "nesting.outer_mesh": str(data_dir / "outer"),
+        "nesting.nudge_timescale": 0.05,
+        "nesting.nudge_lengthscale": 3.0,
+        "output.exporter_path": str(out_dir),
+    })
+    sim = Simulator(cfg)
+    c0 = float(np.asarray(sim.state.conc)[2, 12])
+    for _ in range(4):
+        sim.step()
+    conc = np.asarray(sim.state.conc)
+    # sponge cells pulled from 0.3 toward the outer 0.8; interior untouched
+    assert conc[2, 12] > c0 + 0.1, conc[2, 12]
+    # deep interior feels the exponential tail only (exp(-9/3) of the band)
+    assert abs(conc[10, 12] - c0) < 0.05
+    assert conc[2, 12] - c0 > 5 * abs(conc[10, 12] - c0)
+    # slab-ocean targets came from the outer run
+    assert float(np.asarray(sim.last_forcing.ocean_temp)[10, 12]) == pytest.approx(-1.0, abs=1e-3)
