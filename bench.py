@@ -67,20 +67,27 @@ def main() -> None:
     )
     cfg.set("tpu.steps_per_call", 10)  # fused multi-step device program
     sim = Simulator(cfg)
+    k = sim._chunk_k
     forcing = sim.forcing_provider(sim.current_time, sim.time_init)
     tinfo = sim.time_info()
-    chunk = sim._build_chunk_fn(sim._chunk_k)
+    # per-step forcing/tinfo threading (constant forcing here, so the tail
+    # stacks replicate one bundle — same program shape as a real run)
+    import jax.numpy as jnp
+
+    f_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *([forcing] * (k - 1)))
+    ti_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *([tinfo] * (k - 1)))
+    chunk = sim._build_chunk_fn(k)
 
     ocean_cells = int(np.asarray(sim.grid.mask).sum())
 
     # warmup/compile
-    state, diag, viol, acc, lex = chunk(sim.state, forcing, tinfo)
+    state, diag, viol, acc, lex = chunk(sim.state, forcing, f_rest, tinfo, ti_rest)
     jax.block_until_ready(state)
 
     n_steps = 30
     t0 = time.perf_counter()
-    for _ in range(n_steps // sim._chunk_k):
-        state, diag, viol, acc, lex = chunk(state, forcing, tinfo)
+    for _ in range(n_steps // k):
+        state, diag, viol, acc, lex = chunk(state, forcing, f_rest, tinfo, ti_rest)
     jax.block_until_ready(state)
     dt_wall = time.perf_counter() - t0
 

@@ -208,6 +208,12 @@ def explicit_solve(
     dtep_const = dte / (p.mevp_beta + 1.0) if dyn_type == "mevp" else dte
     dte_over_mass_const = dtep_const / jnp.maximum(min_m, node_mass)
     beta_cor_const = dtep_const * fcor
+    # rotated ocean velocity and per-node drag projections are substep-
+    # invariant: hoist them so the loop pays one mul each for alpha/beta/tau
+    dom_cos = dte_over_mass_const * cos_ota
+    dom_sin = dte_over_mass_const * sin_ota_signed
+    ocn_rot_x = forcing.ocean_u * cos_ota - forcing.ocean_v * sin_ota_signed
+    ocn_rot_y = forcing.ocean_v * cos_ota + forcing.ocean_u * sin_ota_signed
 
     volume = state.thick * area * mask  # loop-invariant
     evp_P = (
@@ -267,34 +273,24 @@ def explicit_solve(
         c_prime = phys.rhow * p.quad_drag_coef_water * jnp.sqrt(du * du + dv * dv)
         tau_b = c_bu / (jnp.sqrt(uice * uice + vice * vice) + p.u0)
         dte_over_mass = dte_over_mass_const
-        alpha = 1.0 + dte_over_mass * (c_prime * cos_ota + tau_b)
-        beta = beta_cor_const + dte_over_mass * c_prime * sin_ota_signed
+        alpha = 1.0 + dom_cos * c_prime + dte_over_mass * tau_b
+        beta = beta_cor_const + dom_sin * c_prime
         rdenom = 1.0 / (alpha * alpha + beta * beta)
 
-        tau_x = tau_ax + c_prime * (
-            forcing.ocean_u * cos_ota - forcing.ocean_v * sin_ota_signed
-        )
-        tau_y = tau_ay + c_prime * (
-            forcing.ocean_v * cos_ota + forcing.ocean_u * sin_ota_signed
-        )
+        tau_x = tau_ax + c_prime * ocn_rot_x
+        tau_y = tau_ay + c_prime * ocn_rot_y
 
         grad_x = grad_u * rlmass
         grad_y = grad_v * rlmass
 
-        new_u = (
-            alpha * uice
-            + beta * vice
-            + dte_over_mass * (alpha * (grad_x + tau_x) + beta * (grad_y + tau_y))
-            + alpha * delu
-            + beta * delv
-        ) * rdenom
-        new_v = (
-            alpha * vice
-            - beta * uice
-            + dte_over_mass * (alpha * (grad_y + tau_y) - beta * (grad_x + tau_x))
-            + alpha * delv
-            - beta * delu
-        ) * rdenom
+        # 2x2 solve in the factored alpha*A + beta*B form:
+        #   A = u + (dte/m)(grad_x + tau_x) + delu,  B likewise for v —
+        # algebraically identical to the expanded reference expression
+        # (fe.cpp:10505-10529) with ~1/3 fewer multiplies on the critical path
+        A = uice + dte_over_mass * (grad_x + tau_x) + delu
+        B = vice + dte_over_mass * (grad_y + tau_y) + delv
+        new_u = (alpha * A + beta * B) * rdenom
+        new_v = (alpha * B - beta * A) * rdenom
 
         vt_u = jnp.where(solve, new_u, vt_u)
         vt_v = jnp.where(solve, new_v, vt_v)

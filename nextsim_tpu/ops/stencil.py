@@ -104,10 +104,25 @@ def stress_divergence(sxx, syy, sxy, volume, dx: float):
 
     (reference: finiteelement.cpp:10460-10466; counter-intuitive sign per
     Danilov et al. 2015). Returns (grad_u, grad_v) with the minus applied.
+
+    Factored form: with Dx/Dy the corner-scatter difference stencils and
+    F1,F2 the cell flux pair, Dx(F1)+Dy(F2) = S[--] - D[-+] + D[+-] - S[++]
+    for S=F1+F2, D=F1-F2 — two fewer adds per component on the substep
+    critical path than evaluating Dx and Dy separately.
     """
-    gxx, gxy = node_force(volume * sxx, volume * sxy, dx)
-    gyx, gyy = node_force(volume * sxy, volume * syy, dx)
-    return -(gxx + gxy), -(gyx + gyy)
+    r = 1.0 / (2.0 * dx)
+    vsxy = volume * sxy
+
+    def dxy_pair(f1, f2):
+        ps = jnp.pad(f1 + f2, 1)
+        pd = jnp.pad(f1 - f2, 1)
+        return (
+            ps[:-1, :-1] - pd[:-1, 1:] + pd[1:, :-1] - ps[1:, 1:]
+        ) * r
+
+    grad_u = dxy_pair(volume * sxx, vsxy)
+    grad_v = dxy_pair(vsxy, volume * syy)
+    return -grad_u, -grad_v
 
 
 def node_grad_scalar(cell_coef, node_scalar, dx: float):
