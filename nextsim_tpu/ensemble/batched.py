@@ -1,0 +1,122 @@
+"""Batched (vmapped) ensemble: all members in ONE device program.
+
+The reference runs ensemble members as separate MPI jobs (reference:
+scripts/ensemble/run_ensemble.sh; modules/enkf perturbations applied per
+process under #ifdef ENSEMBLE, externaldata.cpp:244-278). On TPU the natural
+layout for small/medium domains is a leading member axis: the model step is
+`jax.vmap`-ed over the state and the perturbed forcing, so N members cost
+one fused kernel launch and the VPU processes them as one wide batch —
+ensemble throughput scales with chip FLOPs instead of process count. (The
+per-process driver, ensemble/run_ensemble.py, remains the layout for
+pod-scale members-per-chip runs and for members that need their own output
+streams.)
+
+Member 0 is the unperturbed control (same convention as the reference and
+run_ensemble.py); members 1..N-1 carry independent AR(1) spectral forcing
+perturbations (ensemble/perturbation.py — Evensen red noise, SLP-geostrophic
+wind option), advanced for all members in the same device program.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextsim_tpu.core import constants as phys  # noqa: F401 (perturb step uses it)
+from nextsim_tpu.ensemble.perturbation import EnsembleForcing, PerturbationParams
+
+
+class BatchedEnsemble:
+    """N-member ensemble advanced by one vmapped step program."""
+
+    def __init__(self, cfg, n_members: int, seed: int = 11,
+                 params: Optional[PerturbationParams] = None):
+        from nextsim_tpu.model.simulator import Simulator
+
+        if n_members < 1:
+            raise ValueError("n_members must be >= 1")
+        if cfg["statevector.ensemble_member"] > 0:
+            raise ValueError(
+                "BatchedEnsemble manages perturbations itself: leave "
+                "statevector.ensemble_member at 0"
+            )
+        self.n = n_members
+        self.sim = Simulator(cfg)  # template: control provider, step fn, grid
+        self.states = jax.tree.map(
+            lambda x: jnp.stack([x] * n_members), self.sim.state
+        )
+
+        # one perturbation engine per member semantics, but vectorized:
+        # member 0 gets zero perturbation, members>=1 get independent keys
+        self._pert = EnsembleForcing(
+            self.sim.forcing_provider, self.sim.grid, cfg, params=params,
+            seed=seed,
+        )
+        self._pert.member = 1  # enable the perturbed path
+        self.keys = jax.vmap(
+            lambda m: jax.random.PRNGKey(seed * 1000003 + m)
+        )(jnp.arange(1, n_members))
+        self._ran = None  # AR(1) carry, (n-1, 4, ny, nx)
+        self._vdraw = jax.jit(jax.vmap(self._pert._draw_stack))
+        self._vpert = jax.jit(jax.vmap(self._pert._step, in_axes=(0, 0, None)))
+        self._vstep = jax.jit(jax.vmap(self.sim.raw_step_fn, in_axes=(0, 0, None)))
+        self.pcpt = 0
+
+    # -- forcing ----------------------------------------------------------
+    def _batched_forcing(self, t_days: float):
+        """Shared base forcing + per-member perturbations, leading axis n.
+
+        Member 0 rides unperturbed; the perturbed members' AR(1) red-noise
+        carry advances inside one vmapped device program."""
+        base = self.sim.forcing_provider(t_days, self.sim.time_init)
+        if self.n == 1:
+            return jax.tree.map(lambda x: x[None], base)
+        if self._ran is None:
+            self.keys, subs = jax.vmap(jax.random.split, out_axes=1)(self.keys)
+            self._ran = self._vdraw(subs)
+        self.keys, self._ran, perturbed = self._vpert(self.keys, self._ran, base)
+        return jax.tree.map(
+            lambda b, p: jnp.concatenate([b[None], p]), base, perturbed
+        )
+
+    # -- stepping ---------------------------------------------------------
+    def step(self) -> None:
+        from nextsim_tpu.utils import dates
+
+        t_next = self.sim.time_init + (self.pcpt + 1) * self.sim.dt * dates.DAYS_IN_SEC
+        forcing = self._batched_forcing(t_next)
+        tinfo = self.sim.time_info_at(
+            self.sim.time_init + self.pcpt * self.sim.dt * dates.DAYS_IN_SEC
+        )
+        self.states, _diag, _viol = self._vstep(self.states, forcing, tinfo)
+        self.pcpt += 1
+
+    def run(self, n_steps: int) -> None:
+        for _ in range(n_steps):
+            self.step()
+
+    # -- analysis ---------------------------------------------------------
+    def member_state(self, k: int):
+        """Unstacked State of member k (0 = control)."""
+        return jax.tree.map(lambda x: x[k], self.states)
+
+    def spread(self, fields=("conc", "thick", "vt_u", "vt_v")) -> Dict[str, float]:
+        """Domain-mean ensemble standard deviation per field (the usual
+        spread diagnostic for perturbation sanity)."""
+        out = {}
+        for name in fields:
+            x = getattr(self.states, name)
+            if x is None:
+                continue
+            out[name] = float(jnp.asarray(x, jnp.float32).std(axis=0).mean())
+        return out
+
+    def mean_state(self):
+        """Ensemble-mean State (the EnKF forecast mean)."""
+        return jax.tree.map(
+            lambda x: x.mean(axis=0).astype(x.dtype), self.states
+        )

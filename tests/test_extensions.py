@@ -332,3 +332,54 @@ def test_simulator_nests_from_netcdf(tmp_path):
     assert conc[2, 12] - c0 > 5 * abs(conc[10, 12] - c0)
     # slab-ocean targets came from the outer run
     assert float(np.asarray(sim.last_forcing.ocean_temp)[10, 12]) == pytest.approx(-1.0, abs=1e-3)
+
+
+def test_batched_ensemble_vmapped_members(tmp_path):
+    """All ensemble members advance in ONE vmapped device program: member 0
+    reproduces the unbatched control run, perturbed members develop spread
+    (TPU-native replacement of the reference's one-process-per-member
+    ensemble layout, scripts/ensemble/run_ensemble.sh)."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.ensemble.batched import BatchedEnsemble
+    from nextsim_tpu.model.simulator import Simulator
+
+    base = {
+        "grid.preset": "square",
+        "grid.nx": 24, "grid.ny": 24, "grid.resolution": 10e3,
+        "simul.timestep": 200, "simul.time_init": "2015-10-16 00:00:00",
+        "simul.duration": 1.0,
+        "dynamics.substeps": 60,
+        "thermo.use_thermo_forcing": True,
+        "ideal_simul.init_SST_limit": 10.0,
+        "setup.ice-type": "constant",
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 10.0,
+        "simul.spinup_duration": 0.0,
+        "tpu.donate_state": False,
+        "output.exporter_path": str(tmp_path),
+    }
+    ens = BatchedEnsemble(Config(dict(base)), n_members=3)
+    ens.run(3)
+
+    ctl = Simulator(Config(dict(base)))
+    for _ in range(3):
+        ctl.step()
+
+    m0 = ens.member_state(0)
+    np.testing.assert_allclose(
+        np.asarray(m0.vt_u), np.asarray(ctl.state.vt_u), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m0.sst), np.asarray(ctl.state.sst), atol=1e-4
+    )
+    # perturbed members differ from the control and from each other
+    m1, m2 = ens.member_state(1), ens.member_state(2)
+    d01 = np.abs(np.asarray(m1.sst) - np.asarray(m0.sst)).max()
+    d12 = np.abs(np.asarray(m1.sst) - np.asarray(m2.sst)).max()
+    assert d01 > 1e-5, d01
+    assert d12 > 1e-5, d12
+    sp = ens.spread(("sst", "vt_u"))
+    assert sp["sst"] > 0.0
+    # ensemble mean has the member shape back
+    assert ens.mean_state().conc.shape == (24, 24)
