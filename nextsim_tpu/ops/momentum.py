@@ -67,8 +67,12 @@ def slab_mass(state, p: DynParams):
         total_conc = total_conc + state.conc_young
         total_thick = total_thick + state.h_young
         total_snow = total_snow + state.hs_young
+    # the 1e-15 floor (not 1e-30): reverse-mode div computes x/(y*y) and a
+    # 1e-30 floor's square underflows float32 to 0 -> inf -> 0*inf = NaN on
+    # the where-masked lanes; 1e-15^2 stays normal. Same reasoning for every
+    # division floor below. Forward values on floored lanes are where-masked.
     mass = (phys.rhoi * total_thick + phys.rhos * total_snow) / jnp.maximum(
-        total_conc, 1e-30
+        total_conc, 1e-15
     )
     return jnp.where(total_conc > 0.0, mass, 0.0)
 
@@ -131,12 +135,14 @@ def explicit_solve(
     # =====================================================================
     # lumped mass & nodal mean mass: area-weighted over adjacent ocean cells
     area_sum = stencil.cells_to_node_sum(mask) * area  # sum A_c
+    # floor of 1.0 m^2 (land nodes have area_sum 0 and are excluded by the
+    # solve mask); keeps the division's reverse derivative finite (see above)
     node_mass = stencil.cells_to_node_sum(element_mass * area) / jnp.maximum(
-        area_sum, 1e-30
+        area_sum, 1.0
     )
     # reciprocal lumped mass matrix: quads lump A/4 per corner
     # (reference triangles lump A/3, fe.cpp:10406-10408)
-    rlmass = 4.0 / jnp.maximum(area_sum, 1e-30)
+    rlmass = 4.0 / jnp.maximum(area_sum, 1.0)
 
     c_bu = stencil.node_max_of_cells(element_cbu)
 
@@ -157,13 +163,15 @@ def explicit_solve(
         dragp = jnp.where(
             tot_c > 0.0,
             (state.drag_ui * state.conc + state.drag_ui_young * state.conc_young)
-            / jnp.maximum(tot_c, 1e-30),
+            / jnp.maximum(tot_c, 1e-15),
             state.drag_ui,
         )
     else:
         dragp = state.drag_ui
     drag_node = stencil.node_mean_of_cells(dragp, mask)
-    wspd_node = jnp.hypot(forcing.wind_u, forcing.wind_v)
+    wspd_node = jnp.sqrt(
+        forcing.wind_u * forcing.wind_u + forcing.wind_v * forcing.wind_v + 1e-20
+    )
     drag_node = drag_node * phys.rhoa * wspd_node
     tau_ax = drag_node * forcing.wind_u
     tau_ay = drag_node * forcing.wind_v
@@ -270,8 +278,14 @@ def explicit_solve(
 
         du = forcing.ocean_u - uice
         dv = forcing.ocean_v - vice
-        c_prime = phys.rhow * p.quad_drag_coef_water * jnp.sqrt(du * du + dv * dv)
-        tau_b = c_bu / (jnp.sqrt(uice * uice + vice * vice) + p.u0)
+        # +1e-20 inside the norms: below float32 resolution everywhere except
+        # exactly 0 (where it adds ~1e-10 m/s), and it keeps sqrt's reverse-
+        # mode derivative finite — the whole dynamical core is reverse-
+        # differentiable for calibration/adjoint DA (tests/test_grad.py)
+        c_prime = phys.rhow * p.quad_drag_coef_water * jnp.sqrt(
+            du * du + dv * dv + 1e-20
+        )
+        tau_b = c_bu / (jnp.sqrt(uice * uice + vice * vice + 1e-20) + p.u0)
         dte_over_mass = dte_over_mass_const
         alpha = 1.0 + dom_cos * c_prime + dte_over_mass * tau_b
         beta = beta_cor_const + dom_sin * c_prime
@@ -368,10 +382,10 @@ def explicit_solve(
     # ice-ocean drag diagnostic from mean speed (reference: fe.cpp:10616-10630)
     um_u = 0.5 * (vt_u + vtm_u)
     um_v = 0.5 * (vt_v + vtm_v)
+    dou = forcing.ocean_u - um_u
+    dov = forcing.ocean_v - um_v
     c_prime = (
-        phys.rhow
-        * p.quad_drag_coef_water
-        * jnp.hypot(forcing.ocean_u - um_u, forcing.ocean_v - um_v)
+        phys.rhow * p.quad_drag_coef_water * jnp.sqrt(dou * dou + dov * dov + 1e-20)
     )
     tau_wx = c_prime * (um_u - forcing.ocean_u)
     tau_wy = c_prime * (um_v - forcing.ocean_v)

@@ -39,7 +39,9 @@ def _fast_pow(x, e: float):
             n >>= 1
         return out if out is not None else jnp.ones_like(x)
     if (2.0 * e) == int(2.0 * e) and 0 < e < 8:  # half-integer, e.g. 1.5
-        return _fast_pow(x, e - 0.5) * jnp.sqrt(x)
+        # +1e-20 keeps sqrt's reverse derivative finite at x=0 (thickness^1.5
+        # on bare-ocean cells); invisible in float32 for any real thickness
+        return _fast_pow(x, e - 0.5) * jnp.sqrt(x + 1e-20)
     return x**e
 
 
@@ -149,9 +151,12 @@ def bbm_update_planes(
     if Pmax is None:
         Pmax = _fast_pow(thick, p.exponent_compression_factor) * p.compression_factor * expC
     compressing = sigma_n < 0.0
-    s_mag = jnp.maximum(-sigma_n, 1e-30)
+    # floors at 1e-15 (not 1e-30): their squares must stay float32-normal so
+    # the division's reverse derivative is finite (x/(y*y) with y^2
+    # underflowed to 0 gives inf and 0*inf = NaN on masked lanes)
+    s_mag = jnp.maximum(-sigma_n, 1e-15)
     s_unyielded = jnp.where(compressing, jnp.maximum(s_mag - Pmax, 0.0), s_mag)
-    tv_s = jnp.maximum(time_viscous * s_mag, 1e-30)
+    tv_s = jnp.maximum(time_viscous * s_mag, 1e-15)
     multiplicator = jnp.minimum(1.0 - 1e-12, tv_s / (tv_s + dt * s_unyielded))
 
     elasticity = p.young * dmg_el
@@ -163,7 +168,9 @@ def bbm_update_planes(
 
     # --- damage criterion (fe.cpp:4216-4243) ------------------------------
     half_diff = 0.5 * (sxx - syy)
-    sigma_s = jnp.sqrt(half_diff * half_diff + sxy * sxy)
+    # +1e-20 (≈1e-10 Pa at exactly zero stress, invisible in float32
+    # otherwise) keeps the norm's reverse-mode derivative finite under AD
+    sigma_s = jnp.sqrt(half_diff * half_diff + sxy * sxy + 1e-20)
     sigma_n = 0.5 * (sxx + syy)
 
     # Mohr-Coulomb + compressive failure (Plante & Tremblay form). Both
@@ -174,8 +181,8 @@ def bbm_update_planes(
     dcrit_num = jnp.where(compressive, -p.compr_strength, cohesion)
     dcrit_den = jnp.where(
         compressive,
-        jnp.minimum(sigma_n, -1e-30),
-        jnp.maximum(sigma_s + p.tan_phi * sigma_n, 1e-30),
+        jnp.minimum(sigma_n, -1e-15),
+        jnp.maximum(sigma_s + p.tan_phi * sigma_n, 1e-15),
     )
     dcrit = dcrit_num / dcrit_den
 
@@ -186,7 +193,7 @@ def bbm_update_planes(
     if rtd_coef is None:
         sqrt_nu_rhoi = math.sqrt(2.0 * (1.0 + p.nu0) * phys.rhoi)
         rtd_coef = jnp.sqrt(p.young * expC) / (delta_x * sqrt_nu_rhoi)
-    rtd = rtd_coef * jnp.sqrt(jnp.maximum(1.0 - damage, 0.0))
+    rtd = rtd_coef * jnp.sqrt(jnp.maximum(1.0 - damage, 0.0) + 1e-20)
     relax = (1.0 - dcrit) * dt * rtd
     relax = jnp.where(failing, relax, 0.0)
 

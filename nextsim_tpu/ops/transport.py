@@ -161,7 +161,7 @@ def transport_and_ridge(state, grid_arrays, dt: float, p: TransportParams):
             & (thick > p.min_h)
             & (new_conc_young < conc_young)
         )
-        ratio = new_conc_young / jnp.maximum(conc_young, 1e-30)
+        ratio = new_conc_young / jnp.maximum(conc_young, 1e-15)
         new_h_young = jnp.where(ridging_young, ratio * h_young, h_young)
         new_hs_young = jnp.where(ridging_young, ratio * hs_young, hs_young)
         newice = jnp.where(ridging_young, h_young - new_h_young, 0.0)
@@ -175,7 +175,7 @@ def transport_and_ridge(state, grid_arrays, dt: float, p: TransportParams):
         # young ridging: conserve level volume at constant area (fe.cpp:4077)
         ridge_ratio = jnp.where(
             ridging_young,
-            1.0 - (1.0 - ridge_ratio) * thick / jnp.maximum(thick + newice, 1e-30),
+            1.0 - (1.0 - ridge_ratio) * thick / jnp.maximum(thick + newice, 1e-15),
             ridge_ratio,
         )
         thick = thick + newice
@@ -188,7 +188,7 @@ def transport_and_ridge(state, grid_arrays, dt: float, p: TransportParams):
         1.0
         - (1.0 - ridge_ratio)
         * jnp.minimum(1.0, conc_capped)
-        / jnp.maximum(conc_before, 1e-30),
+        / jnp.maximum(conc_before, 1e-15),
         ridge_ratio,
     )
     ridge_ratio = jnp.clip(ridge_ratio, 0.0, 1.0)
@@ -200,11 +200,11 @@ def transport_and_ridge(state, grid_arrays, dt: float, p: TransportParams):
 
     # thickness-limit "fix" (fe.cpp:4097-4105)
     has_ice = conc > 0.0
-    true_h = jnp.where(has_ice, thick / jnp.maximum(conc, 1e-30), 0.0)
+    true_h = jnp.where(has_ice, thick / jnp.maximum(conc, 1e-15), 0.0)
     true_h = jnp.minimum(true_h, p.max_true_thickness)
     conc = jnp.where(
         has_ice,
-        jnp.minimum(1.0 - conc_young, thick / jnp.maximum(true_h, 1e-30)),
+        jnp.minimum(1.0 - conc_young, thick / jnp.maximum(true_h, 1e-15)),
         conc,
     )
     ridge_ratio = jnp.where(has_ice, ridge_ratio, 0.0)
