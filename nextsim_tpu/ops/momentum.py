@@ -412,13 +412,13 @@ def free_drift(state, forcing, grid_arrays, dt: float, p: DynParams):
     node_dirichlet = grid_arrays["node_dirichlet"]
     node_mask = grid_arrays["node_mask"]
 
-    nvo = jnp.maximum(
-        jnp.hypot(state.vt_u - forcing.ocean_u, state.vt_v - forcing.ocean_v), 0.01
-    )
+    duo = state.vt_u - forcing.ocean_u
+    dvo = state.vt_v - forcing.ocean_v
+    nvo = jnp.maximum(jnp.sqrt(duo * duo + dvo * dvo + 1e-20), 0.01)
     coef_voce = (p.lin_drag_coef_water + p.quad_drag_coef_water * nvo) * phys.rhow
-    nva = jnp.maximum(
-        jnp.hypot(state.vt_u - forcing.wind_u, state.vt_v - forcing.wind_v), 0.01
-    )
+    dua = state.vt_u - forcing.wind_u
+    dva = state.vt_v - forcing.wind_v
+    nva = jnp.maximum(jnp.sqrt(dua * dua + dva * dva + 1e-20), 0.01)
     coef_vair = (p.lin_drag_coef_air + p.quad_drag_coef_air * nva) * phys.rhoa
 
     new_u = (coef_vair * forcing.wind_u + coef_voce * forcing.ocean_u) / (
