@@ -179,6 +179,8 @@ class Simulator:
             self.export_interval_steps = 1
         else:
             self.export_interval_steps = 0
+        self._last_export_pcpt = 0
+        self._last_restart_pcpt = 0
         if cfg["restart.write_interval_restart"]:
             iv = cfg["restart.output_interval"]
             if cfg["restart.output_interval_units"] == "time_steps":
@@ -192,6 +194,9 @@ class Simulator:
             from nextsim_tpu.output.restart import read_restart
 
             read_restart(self)
+            # interval anchors restart from the resumed step counter
+            self._last_export_pcpt = self.pcpt
+            self._last_restart_pcpt = self.pcpt
             # DataAssimilation at restart (reference: init() fe.cpp:7055-7058
             # -> DataAssimilation fe.cpp:509-525: slab ocean then ice, then
             # consistency check)
@@ -691,13 +696,25 @@ class Simulator:
                         d.update_transient(t, conc)
                     d.mask_by_conc(conc)
                     d.maybe_output(t)
-        if self.export_interval_steps and self.pcpt % self.export_interval_steps == 0:
+        # interval checks by boundary-crossing, not modulo: with fused
+        # stepping (tpu.steps_per_call=k) pcpt advances k at a time, and a
+        # modulo test silently skips intervals k doesn't divide; this fires
+        # at the first step/chunk boundary at or past each due point
+        if (
+            self.export_interval_steps
+            and self.pcpt - self._last_export_pcpt >= self.export_interval_steps
+        ):
             from nextsim_tpu.output.exporter import export_snapshot
 
+            self._last_export_pcpt = self.pcpt
             export_snapshot(self)
-        if self.restart_interval_steps and self.pcpt % self.restart_interval_steps == 0:
+        if (
+            self.restart_interval_steps
+            and self.pcpt - self._last_restart_pcpt >= self.restart_interval_steps
+        ):
             from nextsim_tpu.output.restart import write_restart
 
+            self._last_restart_pcpt = self.pcpt
             write_restart(self)
 
     def finalise(self) -> None:

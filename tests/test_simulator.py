@@ -209,3 +209,39 @@ def test_steps_per_call_time_varying_forcing(tmp_path):
     )
     # the ramp really was active: final wind is below the configured constant
     assert float(np.asarray(sim3.last_forcing.wind_u).max()) <= 12.0 + 1e-6
+
+
+def test_chunked_exports_not_skipped(tmp_path):
+    """Interval outputs fire under fused stepping even when
+    tpu.steps_per_call does not divide the export interval (a modulo check
+    would skip every export when pcpt advances 3 at a time past an
+    interval of 4)."""
+    import glob
+
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    cfg = Config({
+        "grid.preset": "square",
+        "grid.nx": 24, "grid.ny": 24, "grid.resolution": 10e3,
+        "simul.timestep": 200, "simul.time_init": "2015-10-16 00:00:00",
+        "simul.duration": 200.0 * 12 / 86400.0,
+        "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant",
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "simul.spinup_duration": 0.0,
+        "tpu.steps_per_call": 3,
+        # 4-step export interval (output_per_day = steps_per_day/4)
+        "output.output_per_day": int(86400 / 200 / 4),
+        "output.export_fields": True,
+        "output.exporter_path": str(tmp_path),
+    })
+    sim = Simulator(cfg)
+    sim.run()
+    snaps = [p for p in glob.glob(str(tmp_path / "field_*.npz"))
+             if "final" not in p]
+    # interval anchors at each fire: due at 4 -> fires at boundary 6; next
+    # due 10 -> fires at 12. A modulo check (old behavior) fires never.
+    assert len(snaps) == 2, snaps
