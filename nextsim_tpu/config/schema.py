@@ -394,6 +394,9 @@ ENUMS: Dict[str, List[str]] = {
     "setup.ocean-type": [
         "constant", "topaz4", "topaz4-atrest", "topaz4-nrt", "topaz5-nrt",
         "glorys12", "coupled",
+        # reference str2ocean spellings (fe.cpp:1314-1322)
+        "topaz4_rean", "topaz4_rean_atrest", "topaz4_rean-altimeter",
+        "topaz4_nrt", "topaz5_nrt",
     ],
     "setup.atmosphere-type": [
         "constant", "generic_ps", "asr", "era5", "ecmwf_nrt", "ecmwf_nrt_arome",

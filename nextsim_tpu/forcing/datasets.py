@@ -480,6 +480,30 @@ _register(
     )
 )
 
+# Altimeter-derived surface currents (reference: dataset.cpp:5839-6080
+# ocean_currents_nodes — yearly current_%Y.nc on a curvilinear grid, U/V
+# [m/s] on the grid's own axes (east_west_oriented=false) + SSH [m],
+# 1950-01-01 epoch). The nodes dataset of
+# setup.ocean-type=topaz4_rean-altimeter (fe.cpp:792-795), layered over the
+# topaz4r elements dataset.
+_register(
+    DatasetSpec(
+        name="ocean_currents",
+        filename_mask="current_%Y.nc",
+        frequency="yearly",
+        grid=GridSpec(kind="curvilinear", lat_name="latitude", lon_name="longitude"),
+        variables=(
+            DataVar("U", "ocean_u"),
+            DataVar("V", "ocean_v"),
+            DataVar("SSH", "ssh"),
+        ),
+        vectors=(("ocean_u", "ocean_v"),),
+        nodal_targets=("ocean_u", "ocean_v", "ssh"),
+        reference_date="1950-01-01",
+        grid_oriented_vectors=True,
+    )
+)
+
 # ETOPO bathymetry (reference: dataset.cpp etopo + initBathymetry
 # fe.cpp:13749-13777): static
 _register(
@@ -677,10 +701,21 @@ class DatasetForcing:
             "ecmwf_nrt_arome": ["ecmwf_nrt_arome"],
             "ecmwf_nrt_arome_ensemble": ["ecmwf_nrt_arome_ensemble"],
         }
+        # ocean-type -> dataset stack (reference str2ocean spellings accepted
+        # alongside the hyphenated ones; fe.cpp:1314-1322 + dispatch 781-815).
+        # topaz4_rean-altimeter layers the altimeter ocean_currents nodes
+        # dataset over the topaz4r elements fields (fe.cpp:792-795);
+        # *_atrest keeps topaz4r hydrography but the currents stay at the
+        # ideal_simul constants (fe.cpp:11219-11236).
         ocn_map = {
-            "topaz4": "topaz4r", "topaz4-nrt": "topaz4nrt",
-            "topaz5-nrt": "topaz5_nrt", "glorys12": "glorys12",
+            "topaz4": ["topaz4r"], "topaz4_rean": ["topaz4r"],
+            "topaz4-atrest": ["topaz4r"], "topaz4_rean_atrest": ["topaz4r"],
+            "topaz4_rean-altimeter": ["topaz4r", "ocean_currents"],
+            "topaz4-nrt": ["topaz4nrt"], "topaz4_nrt": ["topaz4nrt"],
+            "topaz5-nrt": ["topaz5_nrt"], "topaz5_nrt": ["topaz5_nrt"],
+            "glorys12": ["glorys12"],
         }
+        self._ocean_at_rest = ocn in ("topaz4-atrest", "topaz4_rean_atrest")
         self.sources: List[_DatasetReader] = []
         if atm in atm_map:
             for nm in atm_map[atm]:
@@ -690,9 +725,34 @@ class DatasetForcing:
         elif atm != "constant":
             raise NotImplementedError(f"atmosphere-type {atm}")
         if ocn in ocn_map:
-            self.sources.append(
-                _DatasetReader(REGISTRY[ocn_map[ocn]], grid, self.ocn_dir)
-            )
+            for nm in ocn_map[ocn]:
+                self.sources.append(
+                    _DatasetReader(REGISTRY[nm], grid, self.ocn_dir)
+                )
+        elif ocn not in ("constant", "coupled"):
+            raise NotImplementedError(f"ocean-type {ocn}")
+        # ETOPO bathymetry -> Forcing.depth (reference: initBathymetry,
+        # fe.cpp:13749-13777; etopo_elements dataset). File absent ->
+        # ideal_simul.constant_bathymetry fallback (logged once).
+        if cfg["setup.bathymetry-type"] == "etopo":
+            from nextsim_tpu.forcing.bathymetry import etopo_path
+
+            bpath = etopo_path(cfg)
+            if os.path.exists(bpath):
+                spec = REGISTRY["etopo"]
+                fname = cfg["setup.bathymetry-file"]
+                if fname and fname != spec.filename_mask:
+                    spec = dataclasses.replace(spec, filename_mask=fname)
+                self.sources.append(
+                    _DatasetReader(spec, grid, os.path.dirname(bpath) or ".")
+                )
+            else:
+                from nextsim_tpu.utils.logging import get_logger
+
+                get_logger().warning(
+                    f"setup.bathymetry-type=etopo but {bpath} is absent: "
+                    f"falling back to ideal_simul.constant_bathymetry"
+                )
         # standalone wave forcing for the WIM (wimsetup.wave-type)
         wave = cfg["wimsetup.wave-type"]
         wave_map = {"ww3a": "ww3a", "eraiw_1deg": "erai_waves_1deg"}
@@ -715,6 +775,11 @@ class DatasetForcing:
                 if target in ("wind_u", "wind_v", "ocean_u", "ocean_v", "ssh"):
                     arr = arr * f  # spin-up on dynamic fields (ed.cpp:392-404)
                 updates[target] = arr.astype(np.float32)
+        if self._ocean_at_rest:
+            # *_atrest: currents stay at the ideal_simul constants while
+            # SSH/hydrography come from the dataset (fe.cpp:11219-11236)
+            updates.pop("ocean_u", None)
+            updates.pop("ocean_v", None)
         # recombine directions interpolated via unit components
         for tgt in [k[1:-4] for k in list(updates) if k.startswith("_") and k.endswith("_cos")]:
             c = updates.pop(f"_{tgt}_cos")

@@ -93,9 +93,19 @@ class ConstantForcing:
 
 
 def make_provider(cfg, grid, dtype=jnp.float32):
+    import os
+
     atm = cfg["setup.atmosphere-type"]
     ocn = cfg["setup.ocean-type"]
-    if atm == "constant" and ocn == "constant":
+    # ETOPO bathymetry rides the dataset provider (reference: initBathymetry,
+    # fe.cpp:13749-13777); with the file absent the constant depth is the
+    # documented fallback (the image ships no data files)
+    etopo_active = False
+    if cfg["setup.bathymetry-type"] == "etopo":
+        from nextsim_tpu.forcing.bathymetry import etopo_path
+
+        etopo_active = os.path.exists(etopo_path(cfg))
+    if atm == "constant" and ocn == "constant" and not etopo_active:
         return ConstantForcing(cfg, grid, dtype)
     from nextsim_tpu.forcing.datasets import DatasetForcing
 

@@ -4,8 +4,10 @@ The reference's operational domains are unstructured 10 km pan-Arctic meshes
 (reference: config-files/nextsim.cfg:13 `mesh.filename=small_arctic_10km.msh`;
 the .msh files ship separately and are not in the repository). Here the
 equivalent is a square polar-stereographic box centered on the pole with an
-ocean mask approximated by latitude (the real coastline mask is loaded from
-bathymetry when data files are present — see nextsim_tpu/forcing/bathymetry).
+ocean mask approximated by latitude. For the real coastline use
+``grid.preset=arctic_etopo``, which builds the mask + water depth from an
+ETOPO-style NetCDF (nextsim_tpu/forcing/bathymetry.py: largest-connected-
+ocean cleanup; depth feeds the Lemieux grounding scheme via Forcing.depth).
 
 This synthetic mask keeps the benchmark workload (active-cell count, coast
 fraction) representative without requiring data downloads.

@@ -169,4 +169,14 @@ class Grid:
             return arctic_grid(
                 dx=cfg["grid.resolution"], nx=cfg["grid.nx"], ny=cfg["grid.ny"]
             )
+        if preset == "arctic_etopo":
+            # real coastline + water depth from ETOPO (reference: the meshed
+            # coastline, mesh/README.md, + initBathymetry fe.cpp:13749-13777)
+            from nextsim_tpu.forcing.bathymetry import arctic_etopo_grid
+
+            grid, _depth = arctic_etopo_grid(
+                dx=cfg["grid.resolution"], nx=cfg["grid.nx"], ny=cfg["grid.ny"],
+                filename=cfg["setup.bathymetry-file"],
+            )
+            return grid
         raise ValueError(f"unknown grid preset {preset!r}")

@@ -101,12 +101,25 @@ def check_velocity_fields(state, node_mask, spd_lim: float = 0.5):
     return rogue.sum(), rel.max()
 
 
-def detailed_report(state, j: int, i: int) -> str:
+def detailed_report(state, j: int, i: int, forcing=None) -> str:
     """Per-cell field dump for debugging a flagged element (reference:
-    checkFields with debugging.test_element_number, fe.cpp:14661+)."""
+    checkFields with debugging.test_element_number, fe.cpp:14661+): every
+    prognostic value at the cell, the node velocities, and — matching the
+    reference's 'check the forcings 1st' — each available forcing plane."""
+    import dataclasses
+
     import numpy as np
 
     lines = [f"--- cell ({j},{i}) ---"]
+    if forcing is not None:
+        for f in dataclasses.fields(forcing):
+            v = getattr(forcing, f.name)
+            if v is None or getattr(v, "ndim", 0) < 2:
+                continue
+            v = np.asarray(v)
+            jj = min(j, v.shape[-2] - 1)
+            ii = min(i, v.shape[-1] - 1)
+            lines.append(f"forcing {f.name:14s} = {float(v[..., jj, ii].ravel()[0]):.6g}")
     for name, *_ in CELL_BOUNDS + YOUNG_BOUNDS:
         v = np.asarray(getattr(state, name))
         val = v[..., j, i] if v.ndim == 3 else v[j, i]
@@ -115,3 +128,69 @@ def detailed_report(state, j: int, i: int) -> str:
         v = np.asarray(getattr(state, name))
         lines.append(f"{name:14s} = {v[j, i]:.6g}")
     return "\n".join(lines)
+
+
+def check_fields(state, forcing=None, use_young_ice: bool = True) -> List[str]:
+    """Detailed per-element audit (reference: checkFields,
+    fe.cpp:14661-14860): NaN-screen every forcing plane first, then every
+    prognostic variable with bounds, naming the first offending cell (flat
+    element id + (j,i)) per message. Host-side — this is the slow debug
+    mode behind debugging.check_fields; checkFieldsFast (violations above)
+    is the always-on device-side screen."""
+    import dataclasses
+
+    import numpy as np
+
+    msgs: List[str] = []
+
+    def first_bad(mask2d) -> str:
+        idx = int(np.argmax(mask2d))
+        j, i = np.unravel_index(idx, mask2d.shape)
+        return f"element {idx} (j={j}, i={i})"
+
+    if forcing is not None:
+        for f in dataclasses.fields(forcing):
+            v = getattr(forcing, f.name)
+            if v is None or getattr(v, "ndim", 0) < 2:
+                continue
+            v = np.asarray(v)
+            nanmask = np.isnan(v).reshape(-1, *v.shape[-2:]).any(axis=0)
+            if nanmask.any():
+                msgs.append(
+                    f"Found nan in FORCING {f.name} at {first_bad(nanmask)}"
+                )
+    checks = CELL_BOUNDS + (YOUNG_BOUNDS if use_young_ice else [])
+    # common-sense maxima beyond the hard bounds (fe.cpp too_high_values)
+    too_high = {"thick": 35.0}
+    for name, lo, hi in checks:
+        v = np.asarray(getattr(state, name))
+        flat = v.reshape(-1, *v.shape[-2:])
+        nanmask = np.isnan(flat).any(axis=0)
+        if nanmask.any():
+            msgs.append(f"Found nan in VARIABLE {name} at {first_bad(nanmask)}")
+            continue
+        low = (flat < lo).any(axis=0)
+        high = (flat > hi).any(axis=0)
+        if low.any():
+            msgs.append(
+                f"VARIABLE {name} < min allowed {lo} at {first_bad(low)}"
+            )
+        if high.any():
+            msgs.append(
+                f"VARIABLE {name} > max allowed {hi} at {first_bad(high)}"
+            )
+        if name in too_high:
+            warn = (flat > too_high[name]).any(axis=0)
+            if warn.any():
+                msgs.append(
+                    f"VARIABLE {name} suspiciously high (> {too_high[name]}) "
+                    f"at {first_bad(warn)}"
+                )
+    speed = np.hypot(np.asarray(state.vt_u), np.asarray(state.vt_v))
+    if np.isnan(speed).any():
+        msgs.append(f"Found nan in VARIABLE velocity at {first_bad(np.isnan(speed))}")
+    elif (speed > MAX_SPEED).any():
+        msgs.append(
+            f"VARIABLE speed > max allowed {MAX_SPEED} at {first_bad(speed > MAX_SPEED)}"
+        )
+    return msgs

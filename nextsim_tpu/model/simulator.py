@@ -100,11 +100,22 @@ class Simulator:
                 self.forcing_provider, self.grid, cfg
             )
 
-        # sharding (multi-chip): annotate the state with a 2-D mesh layout
+        # sharding (multi-chip): annotate the state with a 2-D mesh layout.
+        # Node-staggered (ny+1, nx+1) leaves are end-padded to shard-divisible
+        # shapes so EVERY leaf crossing the jit boundary is genuinely sharded
+        # (no replication fallback); cell dims must divide the mesh.
         self.device_mesh = mesh
         if mesh is not None:
             from nextsim_tpu.parallel.sharding import shard_state_and_grid
 
+            dpy, dpx = mesh.devices.shape
+            ny, nx = self.grid.shape
+            if ny % dpy or nx % dpx:
+                raise ValueError(
+                    f"grid {ny}x{nx} does not divide the ({dpy},{dpx}) device "
+                    f"mesh: choose grid.ny divisible by {dpy} and grid.nx "
+                    f"divisible by {dpx} (silent replication is not supported)"
+                )
             self.state, self.grid_arrays = shard_state_and_grid(
                 self.state, self.grid_arrays, mesh
             )
@@ -208,6 +219,42 @@ class Simulator:
             write_restart(self, name="initial")
 
     # ------------------------------------------------------------------
+    def _crop(self, tree):
+        """Logical view of a boundary-padded pytree (no-op without a mesh).
+        Works inside jit (shard-local slice) and on host (output paths)."""
+        if self.device_mesh is None:
+            return tree
+        from nextsim_tpu.parallel.sharding import crop_node_leaves
+
+        ny, nx = self.grid.shape
+        return crop_node_leaves(tree, ny, nx)
+
+    def _pad(self, tree):
+        """Pad logical node leaves back to the sharded boundary layout and
+        (inside jit) pin the block sharding on every leaf so nothing —
+        including broadcast-constant diagnostics — leaves replicated."""
+        if self.device_mesh is None:
+            return tree
+        from nextsim_tpu.parallel.sharding import constrain_tree, pad_node_leaves
+
+        ny, nx = self.grid.shape
+        tree = pad_node_leaves(tree, ny, nx, self.device_mesh)
+        return constrain_tree(tree, self.device_mesh)
+
+    def host_state(self) -> State:
+        """The state at logical shapes for host consumers (IO, drifters)."""
+        return self._crop(self.state)
+
+    def _shard_forcing(self, forcing):
+        """Place a fresh forcing bundle on the device mesh, node planes
+        padded — each device receives only its shard (no replication)."""
+        if self.device_mesh is None:
+            return forcing
+        from nextsim_tpu.parallel.sharding import shard_tree
+
+        return shard_tree(forcing, self.device_mesh)
+
+    # ------------------------------------------------------------------
     def _build_step_fn(self) -> Callable:
         cfg = self.cfg
         dyn = self.dyn
@@ -216,8 +263,13 @@ class Simulator:
         c_fix, c_alea = self.c_fix, self.c_alea
         use_thermo = self.use_thermo
         dynamics_type = dyn.dynamics_type
+        crop, pad = self._crop, self._pad
 
         def step_fn(state: State, forcing, tinfo) -> State:
+            # boundary-padded (sharded) -> logical staggered view; the crop
+            # is shard-local by construction (see parallel/sharding.py)
+            state = crop(state)
+            forcing = crop(forcing)
             # cohesion field for this step (reference: calcCohesion,
             # fe.cpp:3909-3914)
             ga = dict(grid_arrays)
@@ -288,7 +340,8 @@ class Simulator:
                 diag.update(vdiag)
 
             viol = checks.violations(state, use_young_ice=dyn.use_young_ice)
-            return state, diag, viol
+            # logical -> boundary-padded so every output leaf is sharded
+            return pad(state), pad(diag), viol
 
         self.raw_step_fn = step_fn
         return jax.jit(step_fn, donate_argnums=(0,) if cfg["tpu.donate_state"] else ())
@@ -310,10 +363,12 @@ class Simulator:
         """
         raw = self.raw_step_fn
         moorings = self.moorings
+        crop = self._crop
 
         def extract(state, diag):
             out = {}
             if moorings is not None:
+                state, diag = crop(state), crop(diag)
                 for name in moorings.names:
                     d = moorings._extract(name, state, diag)
                     if d:
@@ -360,6 +415,8 @@ class Simulator:
             if (self.pcpt // k) % max(1, self.wim_couplingfreq // k) == 0:
                 self._wim_exchange(forcings[0])
             forcings = [self._apply_wim_forcing(f) for f in forcings]
+        if self.device_mesh is not None:
+            forcings = [self._shard_forcing(f) for f in forcings]
         tinfos = [self.time_info_at(t0 + i * dt_days) for i in range(k)]
         # stack the tail along a leading axis for the scan's xs (None leaves
         # are skipped by tree.map; the leaf structure is static per provider)
@@ -400,6 +457,8 @@ class Simulator:
                 if flags.any():
                     msgs = checks.describe(flags, self.dyn.use_young_ice)
                     self._crash_dump(msgs)
+        if self.cfg["debugging.check_fields"]:
+            self._check_fields_detailed()
         self.timer.tock("step")
 
     # lazily-built parameter bundles for thermo/transport (set in phase 3/4)
@@ -562,6 +621,7 @@ class Simulator:
             self.timer.tock("wim")
         if self.wim is not None:
             forcing = self._apply_wim_forcing(forcing)
+        forcing = self._shard_forcing(forcing)
         tinfo = self.time_info()
         self.timer.tock("forcing")
 
@@ -591,7 +651,7 @@ class Simulator:
 
         if self.coupler is not None:
             # (reference: OASIS put block, fe.cpp:8226-8265)
-            self.coupler.accumulate(self.state, self.diag)
+            self.coupler.accumulate(self.host_state(), self._crop(self.diag))
             self.coupler.maybe_exchange(self.current_time)
 
         self.timer.tick("outputs")
@@ -617,14 +677,30 @@ class Simulator:
             self.timer.tock("checks")
         if self.cfg["debugging.check_velocity_fields"]:
             n_rogue, max_rel = checks.check_velocity_fields(
-                self.state, self.grid_arrays["node_mask"]
+                self.host_state(), self.grid_arrays["node_mask"]
             )
             if int(n_rogue) > 0:
                 self.log.debug(
                     f"Rogue velocity step={self.pcpt}: {int(n_rogue)} nodes, "
                     f"max rel_error={float(max_rel):.2f}"
                 )
+        if self.cfg["debugging.check_fields"]:
+            self._check_fields_detailed()
         self.timer.tock("step")
+
+    def _check_fields_detailed(self) -> None:
+        """Slow per-element audit behind debugging.check_fields (reference:
+        checkFields, fe.cpp:14661-14860), incl. the targeted single-cell
+        printout behind debugging.test_element_number."""
+        hstate = self.host_state()
+        lf = self._crop(getattr(self, "last_forcing", None))
+        itest = self.cfg["debugging.test_element_number"]
+        if itest >= 0:
+            j, i = divmod(int(itest), self.grid.nx)
+            self.log.debug(checks.detailed_report(hstate, j, i, lf))
+        msgs = checks.check_fields(hstate, lf, self.dyn.use_young_ice)
+        if msgs:
+            self._crash_dump(msgs)
 
     def data_assimilation(self) -> None:
         """Full restart-time data assimilation (reference: DataAssimilation,
@@ -671,7 +747,8 @@ class Simulator:
         if self.moorings is not None:
             if not skip_moorings_means:
                 self.moorings.update_means(
-                    self.state, self.diag, getattr(self, "last_forcing", None)
+                    self.host_state(), self._crop(self.diag),
+                    self._crop(getattr(self, "last_forcing", None)),
                 )
             self.moorings.maybe_output(self)
         if self.drifters:
@@ -681,8 +758,9 @@ class Simulator:
             cadence = min(d.output_dt_days for d in self.drifters)
             cadence = max(cadence, self.dt * dates.DAYS_IN_SEC)
             if t - self._drifter_last_move >= cadence - 1e-9:
-                ut_u = np.asarray(self.state.ut_u)
-                ut_v = np.asarray(self.state.ut_v)
+                hstate = self.host_state()
+                ut_u = np.asarray(hstate.ut_u)
+                ut_v = np.asarray(hstate.ut_v)
                 if self._drifter_ut_prev is None:
                     self._drifter_ut_prev = (np.zeros_like(ut_u), np.zeros_like(ut_v))
                 du = ut_u - self._drifter_ut_prev[0]
@@ -745,7 +823,7 @@ class Simulator:
             export_snapshot(self, name="crash")
         except Exception as e:  # noqa: BLE001 - best-effort crash dump
             self.log.error(f"crash export failed: {e}")
-        stats = checks.field_stats(self.state)
+        stats = checks.field_stats(self.host_state())
         raise RuntimeError("; ".join(msgs) + f"; field stats: {stats}")
 
     def run(self, callbacks: Optional[List[Callable]] = None) -> State:

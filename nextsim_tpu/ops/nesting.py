@@ -97,6 +97,17 @@ def apply_nesting(state, outer: Dict[str, jnp.ndarray], weight, p: NestingParams
     if p.nest_dynamic_vars:
         if "vt_u" in outer:
             wn = _cell_weight_to_nodes(weight)
+            # boundary-padded node leaves (multi-chip layout): zero-pad the
+            # weight/outer planes so padded lanes stay untouched
+            if wn.shape != state.vt_u.shape[-2:]:
+                pw = [
+                    (0, state.vt_u.shape[-2] - wn.shape[0]),
+                    (0, state.vt_u.shape[-1] - wn.shape[1]),
+                ]
+                wn = jnp.pad(wn, pw)
+                outer = dict(outer)
+                outer["vt_u"] = jnp.pad(outer["vt_u"], pw)
+                outer["vt_v"] = jnp.pad(outer["vt_v"], pw)
             updates["vt_u"] = state.vt_u + wn * (outer["vt_u"] - state.vt_u)
             updates["vt_v"] = state.vt_v + wn * (outer["vt_v"] - state.vt_v)
         if "sigma" in outer:

@@ -42,7 +42,7 @@ from nextsim_tpu.ops import stencil
 def freezing_point(p: ThermoParams, sss):
     """(reference: fe.cpp freezingPoint)"""
     if p.freezingpoint_type == "unesco":
-        return (-0.0575 + 1.710523e-3 * jnp.sqrt(jnp.maximum(sss, 0.0)) - 2.154996e-4 * sss) * sss
+        return (-0.0575 + 1.710523e-3 * jnp.sqrt(jnp.maximum(sss, 1e-12)) - 2.154996e-4 * sss) * sss
     return -p.freezingpoint_mu * sss
 
 
@@ -99,7 +99,8 @@ def incoming_longwave(p: ThermoParams, forcing, tice0):
 def wind_speed_cells(forcing):
     """Element wind speed = mean of node |wind| (reference:
     windSpeedElement, fe.cpp:6361-6373)."""
-    return stencil.cell_mean_of_nodes(jnp.hypot(forcing.wind_u, forcing.wind_v))
+    u, v = forcing.wind_u, forcing.wind_v
+    return stencil.cell_mean_of_nodes(jnp.sqrt(u * u + v * v + 1e-20))
 
 
 def air_density(mslp, tair, sphuma):
@@ -242,7 +243,7 @@ def ia_bulk_fluxes(
         wr = drag_ti * wspeed * (sphumi - sphuma) / ((1.0 - sphumi) * (1.0 - sphuma))
         wtvirt = wtpot * (1.0 + retv * mixrat) + retv * tpot * wr
         linv = jnp.clip(
-            -phys.vonKarman * phys.g * wtvirt / jnp.maximum(ustar**3 * tvirt, 1e-30),
+            -phys.vonKarman * phys.g * wtvirt / jnp.maximum(ustar**3 * tvirt, 1e-15),
             -linv_range,
             linv_range,
         )
@@ -287,7 +288,7 @@ def ia_bulk_fluxes(
     dqiadT = dqlwdT + dqshdT + dqlhdT
     subl = jnp.maximum(0.0, qlh / lsub)  # deposition removed (fe.cpp:6328-6330)
 
-    hs = jnp.where(conc > 0.0, snow_thick / jnp.maximum(conc, 1e-30), 0.0)
+    hs = jnp.where(conc > 0.0, snow_thick / jnp.maximum(conc, 1e-15), 0.0)
 
     # pond fraction only counts with a thin (<5 cm water-equivalent) lid
     # (fe.cpp:6340-6349); none on young ice
@@ -367,7 +368,7 @@ def thermo_ice0(p: ThermoParams, dt, conc, voli, vols, snowfall, qia, dqiadT, I,
     # --- too-thin cleanup (fe.cpp:6950-6969) -------------------------------
     thin = hi < phys.hmin
     melt_scale = jnp.where(
-        (del_hi < 0.0), -hi_old / jnp.minimum(del_hi, -1e-30), 0.0
+        (del_hi < 0.0), -hi_old / jnp.minimum(del_hi, -1e-15), 0.0
     )
     mlt_hi_top = jnp.where(thin, mlt_hi_top * melt_scale, mlt_hi_top)
     mlt_hi_bot = jnp.where(thin, mlt_hi_bot * melt_scale, mlt_hi_bot)
@@ -439,14 +440,14 @@ def thermo_winton(p: ThermoParams, dt, conc, voli, vols, snowfall, qia, dqiadT, 
     )
     c1 = hi * qi * tfr_ice / (2.0 * dt)
 
-    t1_new = -(b1 + jnp.sqrt(jnp.maximum(b1 * b1 - 4.0 * a1 * c1, 0.0))) / (2.0 * a1)
+    t1_new = -(b1 + jnp.sqrt(jnp.maximum(b1 * b1 - 4.0 * a1 * c1, 1e-20))) / (2.0 * a1)
     tsurf_new = (k12 * t1_new - A) / (k12 + B)
 
     # surface-melt recalculation (eqs 19-22; fe.cpp:6684-6698)
     melting = tsurf_new > tfr_surf
     a1m = a1 + k12 - k12 * B / (k12 + B)
     b1m = b1 - k12 * tfr_surf - A * k12 / (k12 + B)
-    t1_melt = -(b1m + jnp.sqrt(jnp.maximum(b1m * b1m - 4.0 * a1m * c1, 0.0))) / (2.0 * a1m)
+    t1_melt = -(b1m + jnp.sqrt(jnp.maximum(b1m * b1m - 4.0 * a1m * c1, 1e-20))) / (2.0 * a1m)
     msurf = jnp.maximum(
         k12 * (t1_melt - tfr_surf) - (A + B * tfr_surf), 0.0
     )
@@ -526,7 +527,7 @@ def thermo_winton(p: ThermoParams, dt, conc, voli, vols, snowfall, qia, dqiadT, 
         delh1_f = jnp.where(flood, jnp.maximum(-freeboard, 0.0), 0.0)
         f1 = 1.0 - delh1_f / jnp.maximum(delh1_f + h1, 1e-12)
         tbar = f1 * (t1 + qi * tfr_ice / (crho * t1)) + (1.0 - f1) * tfr_ice
-        t1_f = (tbar - jnp.sqrt(jnp.maximum(tbar * tbar - 4.0 * tfr_ice * qi / crho, 0.0))) / 2.0
+        t1_f = (tbar - jnp.sqrt(jnp.maximum(tbar * tbar - 4.0 * tfr_ice * qi / crho, 1e-20))) / 2.0
         t1 = jnp.minimum(jnp.where(flood, t1_f, t1), -1e-6)
         h1 = h1 + delh1_f
         del_hi_s2i = delh1_f
@@ -537,7 +538,7 @@ def thermo_winton(p: ThermoParams, dt, conc, voli, vols, snowfall, qia, dqiadT, 
     lower_bigger = h2 > h1
     f1a = h1 / jnp.maximum(hi, 1e-12) * 2.0
     tbar_a = f1a * (t1 + qi * tfr_ice / (crho * t1)) + (1.0 - f1a) * t2
-    t1_a = (tbar_a - jnp.sqrt(jnp.maximum(tbar_a * tbar_a - 4.0 * tfr_ice * qi / crho, 0.0))) / 2.0
+    t1_a = (tbar_a - jnp.sqrt(jnp.maximum(tbar_a * tbar_a - 4.0 * tfr_ice * qi / crho, 1e-20))) / 2.0
     f1b = (2.0 * h1 - hi) / jnp.maximum(hi, 1e-12)
     t2_b = f1b * (t1 + qi * tfr_ice / (crho * t1)) + (1.0 - f1b) * t2
     has_hi = hi > 0.0
@@ -570,7 +571,7 @@ def thermo_winton(p: ThermoParams, dt, conc, voli, vols, snowfall, qia, dqiadT, 
     del_hi = jnp.where(bad, -hi_old, del_hi)
     thin = (hi < phys.hmin) | bad
     qio = jnp.where(thin, qio - (-qs * hs + (e1 + e2) * hi / 2.0) / dt, qio)
-    melt_scale = jnp.where(del_hi < 0.0, -hi_old / jnp.minimum(del_hi, -1e-30), 0.0)
+    melt_scale = jnp.where(del_hi < 0.0, -hi_old / jnp.minimum(del_hi, -1e-15), 0.0)
     mlt_hi_top = jnp.where(thin, mlt_hi_top * melt_scale, mlt_hi_top)
     mlt_hi_bot = jnp.where(thin, mlt_hi_bot * melt_scale, mlt_hi_bot)
     del_hi_s2i = jnp.where(thin, 0.0, del_hi_s2i)
@@ -624,23 +625,23 @@ def melt_ponds(p: ThermoParams, dt, conc, thick, tice0, hi, hs, mlt_hi_top, del_
     flush = (
         (pond_volume <= 0.0)
         | (conc <= conc_min)
-        | (jnp.where(conc > 0.0, thick / jnp.maximum(conc, 1e-30), 0.0) <= h_ice_min)
+        | (jnp.where(conc > 0.0, thick / jnp.maximum(conc, 1e-15), 0.0) <= h_ice_min)
     )
 
-    pond_fraction = jnp.sqrt(jnp.maximum(pond_volume, 0.0) / p.meltponds_dep2frac)
+    pond_fraction = jnp.sqrt(jnp.maximum(pond_volume, 1e-20) / p.meltponds_dep2frac)
     pond_fraction = jnp.minimum(pond_fraction, 1.0 - hs / (hs + 0.2))
     pond_depth = jnp.minimum(p.meltponds_dep2frac * pond_fraction, 0.9 * hi)
     pond_volume = pond_depth * pond_fraction
     pond_depth = jnp.maximum(0.05, pond_depth)
     pond_fraction = jnp.minimum(
-        pond_fraction, (lid_volume + pond_volume) / jnp.maximum(pond_depth, 1e-30)
+        pond_fraction, (lid_volume + pond_volume) / jnp.maximum(pond_depth, 1e-15)
     )
 
     # lid growth/melt (fe.cpp:6596-6616)
     has_lid = (lid_volume > 0.0) & (pond_fraction > 1e-11)
     tpond = tfr_ice
     lid_thickness = jnp.clip(
-        lid_volume * w2i / jnp.maximum(pond_fraction, 1e-30), min_lid, max_lid
+        lid_volume * w2i / jnp.maximum(pond_fraction, 1e-15), min_lid, max_lid
     )
     qic = (tpond - tice0) / lid_thickness * phys.ki
     del_lid_thick = (jnp.minimum(qia - qic, 0.0) + qic) * dt / (phys.rhoi * phys.Lf)
@@ -653,7 +654,7 @@ def melt_ponds(p: ThermoParams, dt, conc, thick, tice0, hi, hs, mlt_hi_top, del_
 
     # remove lid if pond frozen solid or lid too thick (fe.cpp:6620-6629)
     kill = (pond_volume <= 0.0) | (
-        lid_volume * w2i / jnp.maximum(pond_fraction, 1e-30) >= max_lid
+        lid_volume * w2i / jnp.maximum(pond_fraction, 1e-15) >= max_lid
     )
     dead = flush | kill
     pond_volume = jnp.where(dead, 0.0, pond_volume)
@@ -672,7 +673,9 @@ def ice_ocean_heatflux(p: ThermoParams, state, forcing, mld, dt):
     if p.qio_type == "basic":
         return (state.sst - tbot) * phys.rhow * phys.cpw * mld / dt
     # exchange: element-mean |v_ice - v_ocean| (fe.cpp:6416-6426)
-    rel = jnp.hypot(state.vt_u - forcing.ocean_u, state.vt_v - forcing.ocean_v)
+    rel_u = state.vt_u - forcing.ocean_u
+    rel_v = state.vt_v - forcing.ocean_v
+    rel = jnp.sqrt(rel_u * rel_u + rel_v * rel_v + 1e-20)
     norm = stencil.cell_mean_of_nodes(rel)
     return (state.sst - tbot) * norm * p.Csens_io * phys.rhow * phys.cpw
 
@@ -722,7 +725,7 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     # D_pond_fraction from the last step; recomputed below)
     pond_fraction_prev = jnp.where(
         state.pond_volume > 0.0,
-        jnp.sqrt(jnp.maximum(state.pond_volume, 0.0) / p.meltponds_dep2frac),
+        jnp.sqrt(jnp.maximum(state.pond_volume, 1e-20) / p.meltponds_dep2frac),
         0.0,
     )
 
@@ -893,7 +896,7 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     elif p.newice_type == 2:
         del_c = jnp.where(
             hi_old > 0.0,
-            newice * p.PhiF / jnp.maximum(hi_old, 1e-30),
+            newice * p.PhiF / jnp.maximum(hi_old, 1e-15),
             jnp.where(newice > 0.0, 1.0, 0.0),
         )
     elif p.newice_type == 3:
@@ -913,11 +916,11 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
         thin_y = has_young & (h_young < p.h_young_min * conc_young)
         conc_young = jnp.where(thin_y, h_young / p.h_young_min, conc_young)
         # young ice thicker than the sharp max: promote to old ice
-        hi_y = h_young / jnp.maximum(conc_young, 1e-30)
+        hi_y = h_young / jnp.maximum(conc_young, 1e-15)
         thick_y = has_young & (~thin_y) & (hi_y > p.h_young_max_sharp)
-        hs_y = jnp.maximum(0.0, hs_young / jnp.maximum(conc_young, 1e-30))
+        hs_y = jnp.maximum(0.0, hs_young / jnp.maximum(conc_young, 1e-15))
         tmp_c = conc_young * (p.h_young_max_sharp - p.h_young_min) / jnp.maximum(
-            hi_y - p.h_young_min, 1e-30
+            hi_y - p.h_young_min, 1e-15
         )
         del_c = jnp.where(thick_y, jnp.maximum(0.0, conc_young - tmp_c), 0.0)
         conc_young2 = jnp.where(thick_y, tmp_c, conc_young)
@@ -948,14 +951,14 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     lat_melt_rate = jnp.zeros_like(conc)
     if p.melt_type == 1:
         del_c_melt = jnp.where(
-            conc < 1.0, del_hi * conc * p.PhiM / jnp.maximum(hi_old, 1e-30), 0.0
+            conc < 1.0, del_hi * conc * p.PhiM / jnp.maximum(hi_old, 1e-15), 0.0
         )
         del_c = del_c + jnp.where(melting, del_c_melt, 0.0)
     elif p.melt_type == 2:
         has_hi = hi > 0.0
         lat_melt = (
             p.PhiM * (1.0 - conc) * jnp.minimum(0.0, qow) * ddt
-            / jnp.maximum(hi * qi + hs * qs, 1e-30)
+            / jnp.maximum(hi * qi + hs * qs, 1e-15)
         )
         del_c = del_c + jnp.where(melting & has_hi, lat_melt, 0.0)
         qow = jnp.where(melting & has_hi, qow * (1.0 - p.PhiM), qow)
@@ -1015,11 +1018,11 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     if p.thermo_type == "winton":
         # mix new ice into both layers (fe.cpp:5725-5732; Winton eqs 38-39)
         thick_before = state.thick + thick_dump
-        f1 = thick_before / jnp.maximum(thick_before + newice, 1e-30)
+        f1 = thick_before / jnp.maximum(thick_before + newice, 1e-15)
         mu_si_lf_c = p.freezingpoint_mu * phys.si * phys.Lf / phys.C
         t1_safe = jnp.minimum(t1_new, -1e-6)
         tbar = f1 * (t1_safe - mu_si_lf_c / t1_safe) + (1.0 - f1) * tfrw
-        t1_mixed = (tbar - jnp.sqrt(tbar * tbar + 4.0 * mu_si_lf_c)) / 2.0
+        t1_mixed = (tbar - jnp.sqrt(tbar * tbar + 4.0 * mu_si_lf_c + 1e-20)) / 2.0
         t2_mixed = f1 * t2_new + (1.0 - f1) * tfrw
         mix = ok & (newice > 0.0)
         t1_new = jnp.where(mix, t1_mixed, t1_new)
@@ -1088,7 +1091,7 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
 
     # ridge ratio conservation on growth (fe.cpp:5849-5852)
     ridge_ratio = jnp.where(
-        thick > old_vol, ridge_ratio * old_vol / jnp.maximum(thick, 1e-30), ridge_ratio
+        thick > old_vol, ridge_ratio * old_vol / jnp.maximum(thick, 1e-15), ridge_ratio
     )
 
     # =====================================================================
@@ -1098,10 +1101,10 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     if p.temp_dep_healing:
         tbot_h = freezing_point(p, sss)
         if p.thermo_type == "zero-layer":
-            Ch = phys.ki * snow_thick / (p.snow_cond * jnp.maximum(thick, 1e-30))
+            Ch = phys.ki * snow_thick / (p.snow_cond * jnp.maximum(thick, 1e-15))
             deltaT = jnp.maximum(1e-36, tbot_h - tice0_new) / (1.0 + Ch)
         else:
-            Ch = phys.ki * snow_thick / (p.snow_cond * jnp.maximum(thick, 1e-30) / 4.0)
+            Ch = phys.ki * snow_thick / (p.snow_cond * jnp.maximum(thick, 1e-15) / 4.0)
             deltaT = jnp.maximum(1e-36, tbot_h + Ch * (tbot_h - t1_new) - tice0_new) / (1.0 + Ch)
         trd = jnp.maximum(
             p.time_relaxation_damage * p.deltaT_relaxation_damage / deltaT, ddt
@@ -1140,7 +1143,7 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     if p.use_young_ice:
         sialb = sialb + old_conc_young * ia_y["albedo"]
     diag["albedo"] = sialb + jnp.maximum(0.0, old_ow_fraction) * p.ocean_albedo
-    diag["sialb"] = jnp.where(old_conc_tot > 0.0, sialb / jnp.maximum(old_conc_tot, 1e-30), 0.0)
+    diag["sialb"] = jnp.where(old_conc_tot > 0.0, sialb / jnp.maximum(old_conc_tot, 1e-15), 0.0)
     diag["pond_fraction"] = pond_fraction
 
     # =====================================================================
@@ -1151,9 +1154,9 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     fyi = state.fyi_fraction
     fyi = jnp.where(tinfo["is_0915"] > 0.5, jnp.zeros_like(fyi), jnp.clip(fyi + del_c, 0.0, 1.0))
 
-    w_age = jnp.where(old_conc <= 0.0, 0.0, jnp.minimum(old_conc / jnp.maximum(conc, 1e-30), 1.0))
+    w_age = jnp.where(old_conc <= 0.0, 0.0, jnp.minimum(old_conc / jnp.maximum(conc, 1e-15), 1.0))
     age_det = w_age * (state.age_det + dt) + jnp.maximum((1.0 - w_age) * dt, 0.0)
-    w_agev = jnp.where(old_vol <= 0.0, 0.0, jnp.minimum(old_vol / jnp.maximum(thick, 1e-30), 1.0))
+    w_agev = jnp.where(old_vol <= 0.0, 0.0, jnp.minimum(old_vol / jnp.maximum(thick, 1e-15), 1.0))
     age = w_agev * (state.age + dt) + jnp.maximum((1.0 - w_agev) * dt, 0.0)
 
     # MYI reset logic (fe.cpp:6040-6106)
@@ -1193,8 +1196,8 @@ def thermo_step(state, forcing, grid_arrays, dt: float, cfg_params: ThermoParams
     # melt-only myi decay on non-reset days (fe.cpp:6090-6118)
     some_melt = (thick < old_vol) & (old_conc > 0.0) & (old_vol > 0.0)
     if p.equal_melting:
-        del_c_ratio = jnp.minimum(conc / jnp.maximum(old_conc, 1e-30), 1.0)
-        del_v_ratio = jnp.minimum(thick / jnp.maximum(old_vol, 1e-30), 1.0)
+        del_c_ratio = jnp.minimum(conc / jnp.maximum(old_conc, 1e-15), 1.0)
+        del_v_ratio = jnp.minimum(thick / jnp.maximum(old_vol, 1e-15), 1.0)
         dci = jnp.minimum(0.0, conc_myi * (del_c_ratio - 1.0))
         dvi = jnp.minimum(0.0, thick_myi * (del_v_ratio - 1.0))
     else:

@@ -58,7 +58,7 @@ def export_snapshot(sim, name: Optional[str] = None) -> str:
         return ref_binary.write_state(
             sim, name, precision=cfg["output.exporter_precision"]
         )
-    arrays = state_to_arrays(sim.state)
+    arrays = state_to_arrays(sim.host_state())
     if cfg["output.exporter_precision"] == "double":
         arrays = {k: np.asarray(v, np.float64) for k, v in arrays.items()}
 
@@ -80,8 +80,9 @@ def export_snapshot(sim, name: Optional[str] = None) -> str:
     if cfg["output.save_forcing_fields"] and getattr(sim, "last_forcing", None) is not None:
         import dataclasses as _dc
 
-        for f in _dc.fields(sim.last_forcing):
-            v = getattr(sim.last_forcing, f.name)
+        last_forcing = sim._crop(sim.last_forcing)
+        for f in _dc.fields(last_forcing):
+            v = getattr(last_forcing, f.name)
             if v is not None:
                 arrays[f"forcing_{f.name}"] = np.asarray(v)
     fname = os.path.join(path, f"field_{name}.npz")

@@ -173,7 +173,7 @@ def write_state(sim, name: str, precision: str = "float") -> str:
     records: List[Tuple[str, str, np.ndarray]] = []
     # Time and Misc records lead (fe.cpp:9638-9680 restart layout)
     records.append(("Time", "double", np.array([sim.current_time])))
-    state = sim.state
+    state = sim.host_state()
     for fname, spec in SPECS.items():
         arr = np.asarray(getattr(state, fname), np.float64)
         if fname in ("vt_u", "ut_u"):

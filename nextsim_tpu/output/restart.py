@@ -37,8 +37,9 @@ def write_restart(sim, name: Optional[str] = None) -> str:
         else:
             name = str(sim.pcpt)
     arrays = {}
-    for f in dataclasses.fields(sim.state):
-        v = getattr(sim.state, f.name)
+    hstate = sim.host_state()
+    for f in dataclasses.fields(hstate):
+        v = getattr(hstate, f.name)
         if v is None:  # optional leaves (e.g. FSD when disabled)
             continue
         arrays[f.name] = np.asarray(v)
@@ -90,6 +91,10 @@ def read_restart(sim, basename: Optional[str] = None) -> None:
             else:
                 kw[f.name] = None
         sim.state = State(**kw)
+        if sim.device_mesh is not None:
+            from nextsim_tpu.parallel.sharding import shard_tree
+
+            sim.state = shard_tree(sim.state, sim.device_mesh)
         drifters = getattr(sim, "drifters", None)
         if drifters:
             for i, d in enumerate(drifters):

@@ -10,6 +10,17 @@ inserts the halo collective-permutes for the shifted stencil reads
 automatically — the halo exchange *is* the compiler's job here, overlapped
 with compute by the XLA scheduler over ICI.
 
+Boundary layout (round 3, VERDICT r2 item 1): node-staggered (ny+1, nx+1)
+arrays do not divide the device mesh, and jax's explicit-sharding path
+refuses uneven NamedShardings — round 2 replicated them at every jit
+boundary, paying an all-gather per device call. Now every leaf crossing the
+jit boundary is stored END-PADDED to the shard-divisible shape
+``ceil(dim/shards)*shards`` — exactly the internal padded layout GSPMD uses
+for uneven intermediates, so the crop back to the logical (ny+1, nx+1) view
+inside the step and the re-pad at its exit are communication-free local
+slices. Cell dims that do not divide the mesh are a configuration error
+(raised, not silently replicated).
+
 A hand-written shard_map + Pallas remote-DMA path exists for the hot substep
 loop in nextsim_tpu/parallel/halo.py for when explicit scheduling beats
 GSPMD.
@@ -20,6 +31,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -39,25 +51,67 @@ def make_device_mesh(shape: Tuple[int, int] | None = None, devices=None) -> Mesh
     return Mesh(dev_array, ("y", "x"))
 
 
+def padded_dim(d: int, n: int) -> int:
+    """Smallest multiple of n >= d (GSPMD's internal per-shard padding)."""
+    return -(-d // n) * n
+
+
+def pad_to_mesh(leaf, mesh: Mesh):
+    """End-pad the trailing two dims of a leaf to shard-divisible shape.
+
+    The pad widths match GSPMD's internal uneven-partition padding (each
+    shard holds ceil(dim/shards) rows, padded at the end), so a later
+    in-jit crop back to the logical shape stays shard-local.
+    """
+    if leaf is None or getattr(leaf, "ndim", 0) < 2:
+        return leaf
+    dpy, dpx = mesh.devices.shape
+    py = padded_dim(leaf.shape[-2], dpy) - leaf.shape[-2]
+    px = padded_dim(leaf.shape[-1], dpx) - leaf.shape[-1]
+    if py == 0 and px == 0:
+        return leaf
+    widths = [(0, 0)] * (leaf.ndim - 2) + [(0, py), (0, px)]
+    return jnp.pad(leaf, widths)
+
+
+def crop_node_leaves(tree, ny: int, nx: int):
+    """Crop boundary-padded node leaves back to the logical (ny+1, nx+1)
+    staggered shape. Cell leaves (trailing dims exactly (ny, nx)) pass
+    through; leaves already logical pass through."""
+    tgt = (ny + 1, nx + 1)
+
+    def f(leaf):
+        if leaf is None or getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        sy, sx = leaf.shape[-2], leaf.shape[-1]
+        if (sy, sx) == tgt or sy < tgt[0] or sx < tgt[1]:
+            return leaf
+        return leaf[..., : tgt[0], : tgt[1]]
+
+    return jax.tree.map(f, tree)
+
+
+def pad_node_leaves(tree, ny: int, nx: int, mesh: Mesh):
+    """Pad logical (ny+1, nx+1) node leaves to the mesh-divisible boundary
+    shape (inverse of crop_node_leaves)."""
+    src = (ny + 1, nx + 1)
+
+    def f(leaf):
+        if leaf is None or getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        if (leaf.shape[-2], leaf.shape[-1]) != src:
+            return leaf
+        return pad_to_mesh(leaf, mesh)
+
+    return jax.tree.map(f, tree)
+
+
 def leaf_spec(leaf, mesh: Mesh | None = None) -> P:
     """PartitionSpec for a state/forcing leaf by rank: trailing two dims are
-    (y, x) grid dims; leading dims (components) replicated.
-
-    Node-staggered arrays are (ny+1, nx+1), which jax's explicit-sharding
-    path cannot split evenly, so any leaf whose trailing dims are not
-    divisible by the mesh shape is replicated at the jit boundary; GSPMD
-    still computes them shard-wise internally (it pads uneven intermediates),
-    so only the small boundary transfer is paid.
-
-    VERIFIED (round 2, parallel/partition_check.py +
-    tests/test_parallel.py::test_substep_loop_is_partitioned): on the
-    8-device (2,4) CPU mesh at 64^2/120 substeps the compiled substep
-    while-loop carries have LOCAL shapes — f32[33,17] for (65,65) node
-    fields, f32[32,16] for (64,64) cell fields — with collective-permute
-    halos inside the loop body. The boundary replication costs one
-    all-gather of the node leaves per device call, amortised across
-    tpu.steps_per_call fused steps.
-    """
+    (y, x) grid dims sharded over the mesh; leading dims (components)
+    replicated. Non-divisible trailing dims are an error — pad node-staggered
+    leaves first (pad_to_mesh / shard_tree do this) and pick mesh-divisible
+    grid dims for cell fields (the Simulator validates this at init)."""
     if leaf is None:
         return P()
     nd = getattr(leaf, "ndim", 0)
@@ -66,7 +120,12 @@ def leaf_spec(leaf, mesh: Mesh | None = None) -> P:
             dpy, dpx = mesh.devices.shape
             ny, nx = leaf.shape[-2], leaf.shape[-1]
             if ny % dpy or nx % dpx:
-                return P()
+                raise ValueError(
+                    f"leaf shape {leaf.shape} does not divide the "
+                    f"({dpy},{dpx}) device mesh: pad node-staggered leaves "
+                    f"with pad_to_mesh/shard_tree, and choose grid.ny/nx "
+                    f"divisible by the mesh for cell fields"
+                )
         return P(*([None] * (nd - 2) + ["y", "x"]))
     return P()
 
@@ -78,17 +137,47 @@ def tree_shardings(tree, mesh: Mesh):
 
 
 def shard_tree(tree, mesh: Mesh):
-    shardings = tree_shardings(tree, mesh)
-    return jax.tree_util.tree_map(
-        lambda leaf, s: jax.device_put(leaf, s), tree, shardings
-    )
+    """Pad every leaf to a shard-divisible shape and place it on the mesh.
+    Every >=2-D leaf ends up genuinely block-sharded — nothing is replicated
+    at the jit boundary."""
+    def place(leaf):
+        if leaf is None:
+            return None
+        leaf = pad_to_mesh(leaf, mesh)
+        return jax.device_put(leaf, NamedSharding(mesh, leaf_spec(leaf, mesh)))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def constrain_tree(tree, mesh: Mesh):
+    """Pin the block-sharded layout on every >=2-D leaf inside jit (used at
+    the step's exit so even compile-time-constant diagnostics leave the
+    boundary sharded rather than replicated)."""
+    def f(leaf):
+        if leaf is None or getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        return jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, leaf_spec(leaf, mesh))
+        )
+
+    return jax.tree.map(f, tree)
 
 
 def shard_state_and_grid(state, grid_arrays: Dict, mesh: Mesh):
+    """Place the state (node leaves padded) and the divisible grid arrays on
+    the mesh. Grid arrays that don't divide (node-staggered masks) are left
+    as-is: they are closed over by the step as compile-time constants — they
+    never cross the jit boundary per call, and GSPMD shards them internally."""
     state = shard_tree(state, mesh)
+    dpy, dpx = mesh.devices.shape
     out = {}
     for k, v in grid_arrays.items():
-        if hasattr(v, "ndim") and v.ndim >= 2:
+        if (
+            hasattr(v, "ndim")
+            and v.ndim >= 2
+            and v.shape[-2] % dpy == 0
+            and v.shape[-1] % dpx == 0
+        ):
             out[k] = jax.device_put(v, NamedSharding(mesh, leaf_spec(v, mesh)))
         else:
             out[k] = v

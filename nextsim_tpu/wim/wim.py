@@ -285,7 +285,7 @@ def dave_from_dfloe(dfloe, ice_mask, p: WimParams, moment: int = 1):
         ndsum = (1 - p.fragility) * dmax**moment * geo(qd, mm) + jnp.power(
             ffac, mm
         ) * (dmax / jnp.power(p.xi, mm)) ** moment
-        dave_b = ndsum / jnp.maximum(nsum, 1e-30)
+        dave_b = ndsum / jnp.maximum(nsum, 1e-15)
         dave = jnp.where(
             (dmax >= p.xi * p.dmin) & (mm > 0),
             dave_b,
@@ -315,7 +315,7 @@ def dfloe_to_nfloes(dfloe, conc, p: WimParams):
 def nfloes_to_dfloe(nfloes, conc, p: WimParams):
     """(iceinfo.cpp:253-268)"""
     ok = (nfloes > 0) & (conc >= p.cice_min)
-    d = jnp.where(ok, jnp.sqrt(conc / jnp.maximum(nfloes, 1e-30)), 0.0)
+    d = jnp.where(ok, jnp.sqrt(jnp.maximum(conc, 1e-20) / jnp.maximum(nfloes, 1e-15)), 0.0)
     return jnp.minimum(d, p.dfloe_pack_thresh)
 
 
@@ -567,8 +567,8 @@ def wim_time_step(sdf, ice: Dict[str, Any], medium, sg_dev, p: WimParams,
     # integrated wave parameters (wimdiscr.cpp:1115-1146)
     mom0 = tot["mom0"] if p.ref_hs_ice else tot["mom0w"]
     mom2 = tot["mom2"] if p.ref_hs_ice else tot["mom2w"]
-    hs = 4.0 * jnp.sqrt(mom0)
-    tp_ = jnp.where(mom2 > 0.0, 2 * PI * jnp.sqrt(mom0 / jnp.maximum(mom2, 1e-30)), 0.0)
+    hs = 4.0 * jnp.sqrt(mom0 + 1e-20)
+    tp_ = jnp.where(mom2 > 0.0, 2 * PI * jnp.sqrt(jnp.maximum(mom0, 1e-20) / jnp.maximum(mom2, 1e-15)), 0.0)
     mwd = jnp.where(
         mom2 > 0.0, -90.0 - (180.0 / PI) * jnp.arctan2(tot["mwd_y"], tot["mwd_x"]), 0.0
     )
@@ -577,7 +577,7 @@ def wim_time_step(sdf, ice: Dict[str, Any], medium, sg_dev, p: WimParams,
     dfloe, nfloes, broken = ice["dfloe"], ice["nfloes"], ice["broken"]
     if p.breaking:
         crit = (imask > 0.5) & (2.0 * tot["var_strain"] > p.epsc**2)
-        om_b = jnp.sqrt(tot["mom2"] / jnp.maximum(tot["mom0"], 1e-30))
+        om_b = jnp.sqrt(jnp.maximum(tot["mom2"], 1e-20) / jnp.maximum(tot["mom0"], 1e-15))
         om_b = jnp.maximum(om_b, 1e-3)  # keep the masked-out Newton finite
         out_b = rtparam.rtparam_outer(
             thick, om_b, p.drag_rp, om_b**2 / p.gravity,

@@ -258,3 +258,95 @@ def test_arome_ensemble_member_selection(tmp_path):
         fields = reader.fields_at(t)
         want = 270.0 + (member - 1) - 273.15  # tair in C
         assert fields["tair"] == pytest.approx(want, abs=1e-4), member
+
+
+def _write_curvi_ocean(path, varlist, time_units=b"days since 1900-01-01 00:00:00",
+                       times=None):
+    """Small curvilinear ocean file covering the pole-area square grid."""
+    from scipy.io import netcdf_file
+
+    ny, nx = 10, 11
+    grid = Grid.square(nx=8, ny=8, dx=50e3, x0=-200e3, y0=-2800e3)
+    glat, glon = grid.cell_latlon()
+    lat2d = np.linspace(glat.min() - 1, glat.max() + 1, ny)[:, None] * np.ones((1, nx))
+    lon2d = np.ones((ny, 1)) * np.linspace(glon.min() - 2, glon.max() + 2, nx)[None, :]
+    if times is None:
+        epoch = datetime.datetime(1900, 1, 1)
+        base = (datetime.datetime(2015, 10, 16) - epoch).days
+        times = np.array([base, base + 1], np.float64)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with netcdf_file(path, "w", version=2) as nc:
+        nc.createDimension("time", len(times))
+        nc.createDimension("y", ny)
+        nc.createDimension("x", nx)
+        tv = nc.createVariable("time", "f8", ("time",))
+        tv.units = time_units
+        tv[:] = times
+        nc.createVariable("latitude", "f4", ("y", "x"))[:] = lat2d
+        nc.createVariable("longitude", "f4", ("y", "x"))[:] = lon2d
+        for nm, val in varlist:
+            v = nc.createVariable(nm, "f4", ("time", "y", "x"))
+            v[:] = np.full((len(times), ny, nx), val, np.float32)
+    return grid
+
+
+def test_ocean_altimeter_layering(tmp_path):
+    """setup.ocean-type=topaz4_rean-altimeter: the altimeter ocean_currents
+    nodes dataset (reference: dataset.cpp:5839 current_%Y.nc) overrides the
+    topaz4r currents/SSH while hydrography stays topaz4r
+    (fe.cpp:792-795)."""
+    _write_curvi_ocean(
+        os.path.join(tmp_path, "2015", "topaz_rean_201510.nc"),
+        [("uo", 0.10), ("vo", 0.00), ("zos", 0.20),
+         ("thetao", -1.0), ("so", 33.0), ("mlotst", 20.0)],
+    )
+    grid = _write_curvi_ocean(
+        os.path.join(tmp_path, "current_2015.nc"),
+        [("U", 0.50), ("V", 0.10), ("SSH", 0.40)],
+    )
+    cfg = Config(overrides={
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "topaz4_rean-altimeter",
+        "setup.oceanic_forcing_input_path": str(tmp_path),
+        "simul.spinup_duration": 0.0,
+    })
+    provider = DatasetForcing(cfg, grid)
+    from nextsim_tpu.utils.dates import string_to_datenum
+
+    t = string_to_datenum("2015-10-16 12:00:00")
+    f = provider(t, t)
+    # currents from the altimeter dataset (magnitude is rotation-invariant)
+    mag = np.hypot(np.asarray(f.ocean_u), np.asarray(f.ocean_v))
+    np.testing.assert_allclose(mag, np.hypot(0.50, 0.10), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(f.ssh), 0.40, atol=1e-3)
+    # hydrography from topaz4r
+    np.testing.assert_allclose(np.asarray(f.ocean_temp), -1.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f.mld), 20.0, atol=1e-2)
+
+
+def test_ocean_atrest(tmp_path):
+    """setup.ocean-type=topaz4_rean_atrest: hydrography + SSH from topaz4r
+    but the currents stay at the ideal_simul constants
+    (fe.cpp:11219-11236)."""
+    grid = _write_curvi_ocean(
+        os.path.join(tmp_path, "2015", "topaz_rean_201510.nc"),
+        [("uo", 0.10), ("vo", 0.05), ("zos", 0.20),
+         ("thetao", -1.0), ("so", 33.0), ("mlotst", 20.0)],
+    )
+    cfg = Config(overrides={
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "topaz4_rean_atrest",
+        "setup.oceanic_forcing_input_path": str(tmp_path),
+        "simul.spinup_duration": 0.0,
+        "ideal_simul.constant_ocean_u": 0.0,
+        "ideal_simul.constant_ocean_v": 0.0,
+    })
+    provider = DatasetForcing(cfg, grid)
+    from nextsim_tpu.utils.dates import string_to_datenum
+
+    t = string_to_datenum("2015-10-16 12:00:00")
+    f = provider(t, t)
+    assert float(np.abs(np.asarray(f.ocean_u)).max()) == 0.0
+    assert float(np.abs(np.asarray(f.ocean_v)).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(f.ssh), 0.20, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f.ocean_temp), -1.0, atol=1e-3)

@@ -5,6 +5,9 @@ import pytest
 
 import __graft_entry__ as entry_mod
 
+# heavy integration tier: deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def test_entry_compiles():
     fn, args = entry_mod.entry()

@@ -160,6 +160,7 @@ def test_coupler_put_get_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(f2.ocean_temp), 2.5, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_coupled_simulator_runs(tmp_path):
     cfg = Config(overrides={
         "grid.nx": 16, "grid.ny": 16, "grid.resolution": 10e3,
@@ -334,6 +335,7 @@ def test_simulator_nests_from_netcdf(tmp_path):
     assert float(np.asarray(sim.last_forcing.ocean_temp)[10, 12]) == pytest.approx(-1.0, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_batched_ensemble_vmapped_members(tmp_path):
     """All ensemble members advance in ONE vmapped device program: member 0
     reproduces the unbatched control run, perturbed members develop spread

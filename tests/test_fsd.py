@@ -103,6 +103,7 @@ def test_dmax_dmean():
     assert float(dmean[0, 0]) == pytest.approx(b.centre[4])
 
 
+@pytest.mark.slow
 def test_simulator_with_fsd_runs():
     cfg = Config(overrides={
         "grid.nx": 16, "grid.ny": 16, "grid.resolution": 10e3,

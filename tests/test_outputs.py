@@ -65,6 +65,7 @@ def test_moorings_netcdf_written(tmp_path):
         assert t[1] > t[0]
 
 
+@pytest.mark.slow
 def test_restart_roundtrip_bitwise(tmp_path):
     cfg = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
     sim = Simulator(cfg)
@@ -172,6 +173,7 @@ def test_osisaf_drifters():
     assert 5 * n_coarse < len(d9.x) < 13 * n_coarse
 
 
+@pytest.mark.slow
 def test_export_variable_selection_and_forcing(tmp_path):
     cfg = toy_cfg(tmp_path, **{
         "moorings.use_moorings": False,
@@ -220,6 +222,7 @@ def test_moorings_from_file_grid(tmp_path):
         assert np.nanmax(nc.variables["sic"][:]) == pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_wave_coupling_drives_fsd_breakup(tmp_path):
     """Coupled waves end-to-end: a prescribed cpl_in.nc provides the wave
     breaking field (wlbk) + wave stress; the FSD breaks up and damage rises."""
@@ -329,6 +332,7 @@ def test_moorings_conservative_noninteger_spacing(tmp_path):
         assert np.nanmax(sic) == pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_exporter_precision_and_reference_format(tmp_path):
     """output.exporter_precision=double doubles the npz payload;
     output.format=reference writes the binary .bin/.dat Exporter pair."""
@@ -369,6 +373,7 @@ def test_exporter_precision_and_reference_format(tmp_path):
     np.testing.assert_allclose(recs["Concentration"].max(), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_moorings_parallel_output_patches_merge(tmp_path):
     """moorings.parallel_output: per-process y-slab files concatenate back
     to exactly the serial output (reference parallel-netCDF analog)."""
@@ -468,6 +473,7 @@ def test_moorings_from_file_conservative(tmp_path):
         assert np.nanmax(sic) == pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_moorings_extended_variable_set(tmp_path):
     """Extended GridOutput variable parity (VERDICT r1 #7): composite tsurf
     (D_tsurf, fe.cpp:7875-7883), principal stresses (fe.cpp:7886-7887),

@@ -49,6 +49,7 @@ def test_simulator_init_toy():
     assert float(np.asarray(s.sst).max()) == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_simulator_steps_toy():
     sim = Simulator(toy_config())
     for _ in range(10):
@@ -68,6 +69,7 @@ def test_simulator_steps_toy():
     assert abs(v1 - v0) / v0 < 1e-3
 
 
+@pytest.mark.slow
 def test_simulator_mass_conservation_long():
     cfg = toy_config(**{"simul.spinup_duration": 0.0})
     sim = Simulator(cfg)
@@ -83,6 +85,7 @@ def test_simulator_mass_conservation_long():
 
 
 @pytest.mark.skipif(not REF_TOY.exists(), reason="reference configs not mounted")
+@pytest.mark.slow
 def test_simulator_from_reference_toy_cfg():
     cfg = Config.from_files(str(REF_TOY))
     cfg.set("grid.nx", 48)
@@ -95,6 +98,7 @@ def test_simulator_from_reference_toy_cfg():
     assert np.isfinite(np.asarray(sim.state.vt_u)).all()
 
 
+@pytest.mark.slow
 def test_check_interval_batches_but_catches(tmp_path):
     """tpu.check_interval batches the host readback without losing a
     transient violation inside the window."""
@@ -114,6 +118,7 @@ def test_check_interval_batches_but_catches(tmp_path):
             sim.step()
 
 
+@pytest.mark.slow
 def test_steps_per_call_matches_per_step(tmp_path):
     """tpu.steps_per_call fuses K steps into one device program; results
     match the per-step path (constant forcing) and moorings accumulate the
@@ -166,6 +171,7 @@ def test_steps_per_call_matches_per_step(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_steps_per_call_time_varying_forcing(tmp_path):
     """Per-step forcing and date flags are threaded through the fused scan:
     under time-varying forcing (the spin-up ramp changes the wind every
@@ -211,6 +217,7 @@ def test_steps_per_call_time_varying_forcing(tmp_path):
     assert float(np.asarray(sim3.last_forcing.wind_u).max()) <= 12.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_chunked_exports_not_skipped(tmp_path):
     """Interval outputs fire under fused stepping even when
     tpu.steps_per_call does not divide the export interval (a modulo check
@@ -245,3 +252,44 @@ def test_chunked_exports_not_skipped(tmp_path):
     # interval anchors at each fire: due at 4 -> fires at boundary 6; next
     # due 10 -> fires at 12. A modulo check (old behavior) fires never.
     assert len(snaps) == 2, snaps
+
+
+@pytest.mark.slow
+def test_check_fields_detailed_audit(caplog):
+    """debugging.check_fields + test_element_number: the per-element audit
+    runs (reference: checkFields, fe.cpp:14661-14860), prints the targeted
+    cell, passes on healthy fields, and names the offending cell on NaN."""
+    import logging
+
+    from nextsim_tpu.model import checks
+
+    sim = Simulator(toy_config(**{
+        "grid.nx": 32, "grid.ny": 32, "dynamics.substeps": 60,
+        "debugging.check_fields": True,
+        "debugging.test_element_number": 5 * 32 + 7,  # cell (5, 7)
+        "simul.spinup_duration": 1.0,
+        "debugging.log-level": "debug",
+    }))
+    with caplog.at_level(logging.DEBUG):
+        sim.step()
+    assert any("cell (5,7)" in r.message for r in caplog.records)
+
+    # a poisoned cell is named with its flat id and (j, i)
+    conc = np.asarray(sim.host_state().conc).copy()
+    conc[9, 11] = np.nan
+    bad = sim.host_state().replace(conc=jnp_asarray(conc))
+    msgs = checks.check_fields(bad, None, use_young_ice=True)
+    assert any("conc" in m and "j=9, i=11" in m for m in msgs)
+
+    # out-of-bounds is reported distinctly from NaN
+    thick = np.asarray(sim.host_state().thick).copy()
+    thick[3, 4] = 99.0
+    bad2 = sim.host_state().replace(thick=jnp_asarray(thick))
+    msgs2 = checks.check_fields(bad2, None, use_young_ice=True)
+    assert any("thick" in m and "max allowed" in m for m in msgs2)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)

@@ -65,6 +65,7 @@ def test_rtparam_thin_ice_limit():
     assert np.isclose(float(out["kice"][0]), float(out["kwtr"][0]), rtol=0.01)
 
 
+@pytest.mark.slow
 def test_rtparam_attenuation_monotone_in_thickness():
     h = jnp.linspace(0.2, 4.0, 30)
     om = 2 * np.pi / 9.0
@@ -210,6 +211,7 @@ def ideal_run():
     return w, diag
 
 
+@pytest.mark.slow
 def test_ideal_run_attenuation_profile(ideal_run):
     w, diag = ideal_run
     hs = np.asarray(diag["hs"])
@@ -261,6 +263,7 @@ def test_ideal_run_wave_stress(ideal_run):
     assert abs(tau_x[6, 2]) < 1e-8
 
 
+@pytest.mark.slow
 def test_wim_run_is_deterministic():
     p = WimParams(nwavefreq=3, nwavedirn=8)
     outs = []
@@ -278,6 +281,7 @@ def test_wim_run_is_deterministic():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_simulator_wim_coupling(tmp_path):
     from nextsim_tpu.config import Config
     from nextsim_tpu.model.simulator import Simulator
@@ -411,6 +415,7 @@ def test_isotropic_matches_dissipated_stress_convention():
     np.testing.assert_allclose(np.asarray(tx_iso), np.asarray(tx_dis), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_wim_nfloes_restart_roundtrip(tmp_path):
     """The WIM floe-number field participates in restart (the WAVES-era
     M_nfloes prognostic)."""
@@ -450,6 +455,7 @@ def test_wim_nfloes_restart_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(sim2._wim_nfloes), nf0)
 
 
+@pytest.mark.slow
 def test_wim_moorings_dmax_and_wave_stress(tmp_path):
     """dmax + tauwix/tauwiy ride the moorings output when the WIM is on
     (reference GridOutput WIM variables, gridoutput.hpp:219-220, 231-232)."""
@@ -491,6 +497,7 @@ def test_wim_moorings_dmax_and_wave_stress(tmp_path):
         assert np.nanmax(dmax) > 0  # pack ice carries dfloe_pack values
 
 
+@pytest.mark.slow
 def test_wim_feeds_fsd_breakup(tmp_path):
     """Coupled WIM + FSD: breakage enters the FSD pipeline as a breaking
     probability (the wlbk entry point) and damages the broken cells."""
@@ -568,6 +575,7 @@ def test_regridder_roundtrip_and_constants():
     assert err.max() < 0.05, err.max()
 
 
+@pytest.mark.slow
 def test_simulator_wim_own_grid(tmp_path):
     """Full coupling through a coarser WIM grid: stress comes back on model
     nodes, breakage feeds damage on the model grid, nfloes lives on the WIM
@@ -616,6 +624,7 @@ def test_simulator_wim_own_grid(tmp_path):
         assert dmg.max() >= 0.5
 
 
+@pytest.mark.slow
 def test_wim_sdf_restart_persistence(tmp_path):
     """The wave spectrum participates in restart: a resumed run keeps the
     attenuated in-ice spectrum instead of re-spinning from incident waves."""
