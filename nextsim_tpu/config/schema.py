@@ -11,7 +11,7 @@ TPU-specific options live in new sections that have no reference counterpart:
 * ``grid.*``   — the structured quad grid that replaces the reference's
   unstructured triangle mesh (``mesh.*`` is still parsed and a mesh filename
   maps onto a named grid preset).
-* ``tpu.*``    — dtype, device-mesh layout, pallas toggles.
+* ``tpu.*``    — dtype, device-mesh layout, step fusion.
 
 String→enum validation follows the reference's getOptionFromMap
 (model/finiteelement.cpp:1517-1546): unknown values raise with the allowed
@@ -370,7 +370,6 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     # --- tpu (no reference counterpart)
     "tpu.dtype": (str, "float32"),
     "tpu.mesh_shape": (str, "1x1"),  # dp_y x dp_x device mesh
-    "tpu.use_pallas": (bool, False),
     # momentum substep fori_loop unroll factor (4 measured best on v5e:
     # deeper instruction window hides VPU transcendental latency)
     "tpu.substep_unroll": (int, 4),

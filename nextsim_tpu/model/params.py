@@ -78,7 +78,6 @@ def dyn_params(cfg, dx: float) -> DynParams:
         mevp_beta=cfg["dynamics.mevp.beta"],
         nit_ow=cfg["numerics.nit_ow"],
         use_young_ice=cfg["thermo.newice_type"] == 4,
-        use_pallas=cfg["tpu.use_pallas"],
         substep_unroll=cfg["tpu.substep_unroll"],
         bbm=bbm,
         evp=evp,

@@ -52,7 +52,6 @@ class DynParams:
     nit_ow: int = 50  # numerics.nit_ow open-water smoother sweeps
     substep_unroll: int = 4  # fori_loop unroll (measured best on v5e; tpu.substep_unroll)
     use_young_ice: bool = True  # thermo.newice_type == 4
-    use_pallas: bool = False  # fused VMEM-resident substep kernel (tpu.use_pallas)
     bbm: BBMParams = BBMParams()
     evp: EVPParams = EVPParams()
 
@@ -316,44 +315,24 @@ def explicit_solve(
 
         return (vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage)
 
-    use_pallas = p.use_pallas
-    if use_pallas:
-        cell_inputs = (
-            state.conc, state.thick, grid_arrays["cohesion"],
-            state.time_relaxation_damage, mask,
-        )
-        node_inputs = (
-            node_mass, rlmass, c_bu, fcor, tau_ax, tau_ay,
-            forcing.ocean_u, forcing.ocean_v, grad_ssh_u, grad_ssh_v,
-            solve.astype(vt_u.dtype), sin_ota_signed,
-        )
-        from nextsim_tpu.ops import momentum_pallas
+    # Hand-written Pallas substep kernels (single-block VMEM-resident and
+    # K-substep-grouped blocked variants) were built and measured in rounds
+    # 2-3 and REMOVED on evidence: the loop is VPU-compute-bound, XLA's
+    # pointwise codegen beats Mosaic's even with all HBM traffic eliminated
+    # (best blocked config 42.7 us/substep vs 37.8 us XLA at 464^2 on v5e),
+    # and the perfect all-land-tile-skip bound (21% land) is only 1.12x —
+    # below the keep bar. Full evidence table: NOTES_NEXT_ROUND.md.
+    carry = (
+        vt_u, vt_v, state.ut_u, state.ut_v,
+        state.sigma[0], state.sigma[1], state.sigma[2], state.damage,
+    )
+    carry = lax.fori_loop(0, steps, substep, carry, unroll=p.substep_unroll)
+    vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
+    sigma = jnp.stack([sxx, syy, sxy])
 
-        if momentum_pallas.fits_vmem(*mask.shape):
-            loop = momentum_pallas.substep_loop_pallas
-        else:
-            # pan-Arctic sizes: K-substep-grouped blocked kernel
-            from nextsim_tpu.ops import momentum_pallas_blocked
-
-            loop = momentum_pallas_blocked.substep_loop_blocked
-        vt_u, vt_v, sigma, damage, ut_du, ut_dv = loop(
-            cell_inputs, node_inputs, vt_u, vt_v, state.sigma, state.damage,
-            steps, dte, dt, float(dx), dyn_type, p,
-        )
-        ut_u = state.ut_u + ut_du
-        ut_v = state.ut_v + ut_dv
-    else:
-        carry = (
-            vt_u, vt_v, state.ut_u, state.ut_v,
-            state.sigma[0], state.sigma[1], state.sigma[2], state.damage,
-        )
-        carry = lax.fori_loop(0, steps, substep, carry, unroll=p.substep_unroll)
-        vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
-        sigma = jnp.stack([sxx, syy, sxy])
-
-        if dyn_type == "mevp":
-            ut_u = ut_u + dt * vt_u
-            ut_v = ut_v + dt * vt_v
+    if dyn_type == "mevp":
+        ut_u = ut_u + dt * vt_u
+        ut_v = ut_v + dt * vt_v
 
     # =====================================================================
     # Open-water velocity smoother (reference: fe.cpp:10576-10611)

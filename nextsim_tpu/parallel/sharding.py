@@ -21,9 +21,9 @@ inside the step and the re-pad at its exit are communication-free local
 slices. Cell dims that do not divide the mesh are a configuration error
 (raised, not silently replicated).
 
-A hand-written shard_map + Pallas remote-DMA path exists for the hot substep
-loop in nextsim_tpu/parallel/halo.py for when explicit scheduling beats
-GSPMD.
+An explicit shard_map + ppermute halo exchange exists in
+nextsim_tpu/parallel/halo.py as the hand-scheduled alternative for when
+real-pod profiling shows GSPMD's inserted collectives on the critical path.
 """
 
 from __future__ import annotations

@@ -114,64 +114,3 @@ def test_no_ice_no_motion_from_stress():
     )
     s2, _ = momentum.explicit_solve(state, forcing, ga, 300.0, dyn)
     np.testing.assert_allclose(np.asarray(s2.vt_u), 0.0, atol=1e-10)
-
-
-def test_pallas_substep_loop_matches_xla():
-    """The fused Pallas substep kernel (interpret mode on CPU) must agree
-    with the XLA fori_loop path."""
-    import dataclasses
-
-    cfg, grid, state, forcing, dyn, ga = make_setup(nx=24, ny=24, substeps=30)
-    s_xla, _ = momentum.explicit_solve(state, forcing, ga, 200.0, dyn)
-
-    # run the pallas path in interpreter mode by monkey-patching the call
-    from nextsim_tpu.ops import momentum_pallas
-
-    orig = momentum_pallas.substep_loop_pallas
-    try:
-        momentum_pallas.substep_loop_pallas = functools.partial(orig, interpret=True)
-        dyn_p = dataclasses.replace(dyn, use_pallas=True)
-        s_pal, _ = momentum.explicit_solve(state, forcing, ga, 200.0, dyn_p)
-    finally:
-        momentum_pallas.substep_loop_pallas = orig
-
-    for f in ("vt_u", "vt_v", "damage"):
-        a = np.asarray(getattr(s_xla, f))
-        b = np.asarray(getattr(s_pal, f))
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=f)
-    np.testing.assert_allclose(
-        np.asarray(s_xla.sigma), np.asarray(s_pal.sigma), rtol=1e-3, atol=1.0
-    )
-
-
-def test_blocked_pallas_substep_loop_matches_xla():
-    """The K-substep-grouped blocked Pallas kernel (interpret mode on CPU)
-    must agree with the XLA fori_loop path — including a short last group
-    (substeps not divisible by K) and a partial last row-block."""
-    import dataclasses
-
-    from nextsim_tpu.ops import momentum_pallas, momentum_pallas_blocked
-
-    cfg, grid, state, forcing, dyn, ga = make_setup(nx=24, ny=24, substeps=20)
-    s_xla, _ = momentum.explicit_solve(state, forcing, ga, 200.0, dyn)
-
-    orig = momentum_pallas_blocked.substep_loop_blocked
-    fits = momentum_pallas.fits_vmem
-    try:
-        momentum_pallas_blocked.substep_loop_blocked = functools.partial(
-            orig, block_rows=8, group_substeps=8, interpret=True
-        )
-        momentum_pallas.fits_vmem = lambda *a, **k: False  # force blocked path
-        dyn_p = dataclasses.replace(dyn, use_pallas=True)
-        s_blk, _ = momentum.explicit_solve(state, forcing, ga, 200.0, dyn_p)
-    finally:
-        momentum_pallas_blocked.substep_loop_blocked = orig
-        momentum_pallas.fits_vmem = fits
-
-    for f in ("vt_u", "vt_v", "damage", "ut_u", "ut_v"):
-        a = np.asarray(getattr(s_xla, f))
-        b = np.asarray(getattr(s_blk, f))
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=f)
-    np.testing.assert_allclose(
-        np.asarray(s_xla.sigma), np.asarray(s_blk.sigma), rtol=1e-3, atol=1.0
-    )
