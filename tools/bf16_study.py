@@ -53,6 +53,7 @@ def _setup(nx: int, substeps: int = 120):
         "ideal_simul.constant_wind_u": 10.0,
         "ideal_simul.constant_wind_v": -3.0,
         "dynamics.use_coriolis": True,
+        "simul.spinup_duration": 0.0,  # wind on from step 1 (else v = 0)
     })
     sim = Simulator(cfg)
     forcing = sim.forcing_provider(sim.current_time, sim.time_init)
