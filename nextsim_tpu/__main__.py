@@ -37,12 +37,25 @@ def write_log_file(sim) -> None:
 
 
 def main(argv=None) -> int:
-    parser = argparse.ArgumentParser(prog="nextsim_tpu")
+    parser = argparse.ArgumentParser(
+        prog="nextsim_tpu",
+        epilog="Remaining arguments: more .cfg files, or section.option=value "
+               "overrides. --help-options lists every option.",
+    )
     parser.add_argument("--config-file", action="append", default=[])
     parser.add_argument("--config-files", action="append", default=[])
+    parser.add_argument(
+        "--help-options", action="store_true",
+        help="print every config option (type, default, allowed values) and exit",
+    )
     args, extra = parser.parse_known_args(argv)
 
     from nextsim_tpu.config import Config
+
+    if args.help_options:
+        # the analog of the reference's --help option dump (model/main.cpp:27-33)
+        print(Config.describe_options())
+        return 0
 
     files = list(args.config_file) + list(args.config_files)
     overrides = {}

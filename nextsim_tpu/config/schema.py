@@ -544,6 +544,27 @@ class Config:
     def unknown_options(self) -> Dict[str, str]:
         return dict(getattr(self, "_unknown", {}))
 
+    @staticmethod
+    def describe_options() -> str:
+        """Human-readable listing of every option with type, default and
+        allowed enum values (the analog of the reference executable's
+        ``--help``, which prints all program_options descriptions;
+        model/main.cpp:27-33)."""
+        by_section: Dict[str, List[str]] = {}
+        for name, (typ, default) in sorted(OPTIONS.items()):
+            section, _, key = name.partition(".")
+            tname = "list[str]" if typ is _LIST else typ.__name__
+            line = f"  {key:42s} {tname:9s} default={default!r}"
+            if name in ENUMS:
+                line += f"  one of {ENUMS[name]}"
+            by_section.setdefault(section, []).append(line)
+        out = []
+        for section, lines in by_section.items():
+            out.append(f"[{section}]")
+            out.extend(lines)
+            out.append("")
+        return "\n".join(out)
+
     def dump(self) -> str:
         """Render the full config as INI text (for the run log file,
         reference: writeLogFile, model/finiteelement.cpp:14371-14487)."""

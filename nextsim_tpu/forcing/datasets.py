@@ -764,6 +764,10 @@ class DatasetForcing:
         from nextsim_tpu.forcing.providers import ConstantForcing
 
         self._fallback = ConstantForcing(cfg, grid, self.dtype)
+        # additive forecast bias correction on dataset air/dew temperature
+        # (reference: forcingAtmosphere passes it into every non-constant
+        # M_tair/M_dair ExternalData; fe.cpp:10837,10866-10918)
+        self._tair_corr = float(cfg["forecast.air_temperature_correction"])
 
     def __call__(self, t_days: float, time_init_days: float) -> Forcing:
         base = self._fallback(t_days, time_init_days)
@@ -774,6 +778,9 @@ class DatasetForcing:
             for target, arr in fields.items():
                 if target in ("wind_u", "wind_v", "ocean_u", "ocean_v", "ssh"):
                     arr = arr * f  # spin-up on dynamic fields (ed.cpp:392-404)
+                elif target in ("tair", "dair") and self._tair_corr != 0.0:
+                    # forecast bias correction (fe.cpp:10837,10866-10918)
+                    arr = arr + self._tair_corr
                 updates[target] = arr.astype(np.float32)
         if self._ocean_at_rest:
             # *_atrest: currents stay at the ideal_simul constants while

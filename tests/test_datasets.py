@@ -116,6 +116,31 @@ def test_dataset_forcing_provider(tmp_path):
     assert float(np.asarray(f.mld)[0, 0]) == cfg["ideal_simul.constant_mld"]
 
 
+def test_forecast_air_temperature_correction(tmp_path):
+    """forecast.air_temperature_correction shifts dataset tair/dair but not
+    wind (reference: forcingAtmosphere fe.cpp:10837,10866-10918)."""
+    write_era5_like(tmp_path)
+    base = {
+        "setup.atmosphere-type": "era5",
+        "setup.ocean-type": "constant",
+        "setup.atmospheric_forcing_input_path": str(tmp_path),
+        "simul.spinup_duration": 0.0,
+    }
+    grid = Grid.square(nx=8, ny=8, dx=50e3, x0=-200e3, y0=-2800e3)
+    from nextsim_tpu.utils.dates import string_to_datenum
+
+    t0 = string_to_datenum("2015-10-16 03:00:00")
+    f0 = DatasetForcing(Config(overrides=base), grid)(t0, t0)
+    f1 = DatasetForcing(
+        Config(overrides={**base, "forecast.air_temperature_correction": 2.5}),
+        grid,
+    )(t0, t0)
+    np.testing.assert_allclose(
+        np.asarray(f1.tair), np.asarray(f0.tair) + 2.5, rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(f1.wind_u), np.asarray(f0.wind_u))
+
+
 def write_erai_waves_like(tmp_path, year=2015):
     """Synthetic yearly erai_waves_1deg file: swh/mwp constant, mwd spanning
     the 0/360 wrap to exercise component interpolation."""
