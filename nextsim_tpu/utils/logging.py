@@ -21,22 +21,29 @@ LEVELS = {
 _logger = None
 
 
-def get_logger(level: str = "info", log_all: bool = False) -> _pylogging.Logger:
+def get_logger(level: str | None = None, log_all: bool = False) -> _pylogging.Logger:
+    """Return the shared logger. The handler is installed once; an explicit
+    ``level`` re-applies on every call so a Simulator built with
+    debugging.log-level=debug lowers the level even if the logger was first
+    created at info by an earlier run in the same process."""
     global _logger
-    if _logger is not None:
-        return _logger
-    logger = _pylogging.getLogger("nextsim_tpu")
-    logger.setLevel(LEVELS.get(level, _pylogging.INFO))
-    handler = _pylogging.StreamHandler(sys.stderr)
-    handler.setFormatter(_pylogging.Formatter("[%(asctime)s] %(levelname)s %(message)s", "%H:%M:%S"))
-    logger.addHandler(handler)
-    if not log_all:
-        try:
-            import jax
+    if _logger is None:
+        logger = _pylogging.getLogger("nextsim_tpu")
+        handler = _pylogging.StreamHandler(sys.stderr)
+        handler.setFormatter(
+            _pylogging.Formatter("[%(asctime)s] %(levelname)s %(message)s", "%H:%M:%S")
+        )
+        logger.addHandler(handler)
+        logger.setLevel(_pylogging.INFO)
+        _logger = logger
+    if level is not None:
+        _logger.setLevel(LEVELS.get(level, _pylogging.INFO))
+        if not log_all:
+            try:
+                import jax
 
-            if jax.process_index() != 0:
-                logger.setLevel(_pylogging.ERROR)
-        except Exception:
-            pass
-    _logger = logger
-    return logger
+                if jax.process_index() != 0:
+                    _logger.setLevel(_pylogging.ERROR)
+            except Exception:
+                pass
+    return _logger
