@@ -67,7 +67,17 @@ def main(argv=None) -> int:
         else:
             files.append(ov)
 
-    cfg = Config.from_files(*files, overrides=overrides)
+    try:
+        cfg = Config.from_files(*files, overrides=overrides)
+    except (KeyError, ValueError, FileNotFoundError) as e:
+        # config mistakes get a one-line message, not a traceback (the
+        # reference prints program_options' error string; main.cpp:34-36)
+        if isinstance(e, FileNotFoundError):
+            msg = f"config file not found: {e.filename}"
+        else:
+            msg = e.args[0] if e.args else str(e)
+        print(f"nextsim_tpu: config error: {msg}", file=sys.stderr)
+        return 2
 
     # multi-host boot (no-op on a single host; reference: Environment ctor)
     from nextsim_tpu.parallel.distributed import init_distributed
