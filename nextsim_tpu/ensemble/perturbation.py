@@ -96,12 +96,26 @@ class EnsembleForcing:
              for i in range(len(self.FIELDS))]
         )
 
+    @staticmethod
+    def _fit(arr, target_shape):
+        """Zero-pad `arr` at the end of the trailing dims to `target_shape`
+        (node forcing leaves are end-padded to shard-divisible shapes on a
+        device mesh — parallel/sharding.py; an additive perturbation of 0 in
+        the pad region preserves the pad semantics)."""
+        if arr.shape == tuple(target_shape):
+            return arr
+        pads = [(0, t - s) for s, t in zip(arr.shape, target_shape)]
+        return jnp.pad(arr, pads)
+
     def _step(self, key, ran, f):
         """One fused device program: draw fresh noise, advance the AR(1) red
         process (mod_random_forcing.F90 ran_update_ran1) and apply all
         perturbations. Keeping this a single jitted call matters: the eager
         per-field version cost ~40 dispatches/step, which through a
-        high-latency accelerator link dominated the whole model step."""
+        high-latency accelerator link dominated the whole model step.
+        Pure (key, ran, forcing) -> (key, ran, forcing): also traced inside
+        the fused k-step chunk program (Simulator._build_chunk_fn), where it
+        removes ALL per-step host dispatches from perturbed runs."""
         p = self.p
         key, sub = jax.random.split(key)
         fresh = self._draw_stack(sub)
@@ -138,18 +152,31 @@ class EnsembleForcing:
             ones = jnp.ones_like(du)
             du_n = stencil.node_mean_of_cells(du, ones)
             dv_n = stencil.node_mean_of_cells(dv, ones)
-            updates["wind_u"] = f.wind_u + du_n
-            updates["wind_v"] = f.wind_v + dv_n
+            updates["wind_u"] = f.wind_u + self._fit(du_n, f.wind_u.shape)
+            updates["wind_v"] = f.wind_v + self._fit(dv_n, f.wind_v.shape)
 
         return key, ran, f.replace(**updates)
+
+    # -- pure API for device-resident use inside a fused chunk program ------
+    def init_state(self):
+        """Initial (key, ran) perturbation carry (host call, once)."""
+        key, sub = jax.random.split(self.key)
+        ran = jax.jit(self._draw_stack)(sub)
+        return (key, ran)
+
+    def apply(self, pert_state, forcing):
+        """Pure: advance the AR(1) carry one model step and perturb
+        `forcing`. Traceable — used inside the chunk scan."""
+        key, ran = pert_state
+        key, ran, out = self._step(key, ran, forcing)
+        return (key, ran), out
 
     def __call__(self, t_days: float, time_init_days: float):
         f = self.provider(t_days, time_init_days)
         if self.member <= 0:
             return f  # member 0 = unperturbed control
         if self._ran is None:
-            self.key, sub = jax.random.split(self.key)
-            self._ran = jax.jit(self._draw_stack)(sub)
+            self.key, self._ran = self.init_state()
             self._jit_step = jax.jit(self._step)
         self.key, self._ran, out = self._jit_step(self.key, self._ran, f)
         return out

@@ -768,6 +768,11 @@ class DatasetForcing:
         # (reference: forcingAtmosphere passes it into every non-constant
         # M_tair/M_dair ExternalData; fe.cpp:10837,10866-10918)
         self._tair_corr = float(cfg["forecast.air_temperature_correction"])
+        # per-target single-slot device cache: static datasets (etopo) hand
+        # back the identical numpy plane every call — re-uploading it each
+        # step costs ~60 ms/plane through a remote-TPU link. Keyed on object
+        # identity; the source ref is kept so the id cannot be recycled.
+        self._dev_cache: Dict[str, tuple] = {}
 
     def __call__(self, t_days: float, time_init_days: float) -> Forcing:
         base = self._fallback(t_days, time_init_days)
@@ -781,7 +786,9 @@ class DatasetForcing:
                 elif target in ("tair", "dair") and self._tair_corr != 0.0:
                     # forecast bias correction (fe.cpp:10837,10866-10918)
                     arr = arr + self._tair_corr
-                updates[target] = arr.astype(np.float32)
+                # NO astype here: static planes must keep their identity so
+                # the device cache below can recognise them (dev() casts)
+                updates[target] = arr
         if self._ocean_at_rest:
             # *_atrest: currents stay at the ideal_simul constants while
             # SSH/hydrography come from the dataset (fe.cpp:11219-11236)
@@ -794,8 +801,17 @@ class DatasetForcing:
             updates[tgt] = np.degrees(np.arctan2(s, c)).astype(np.float32)
         if updates:
             valid = {f.name for f in dataclasses.fields(Forcing)}
+
+            def dev(k, v):
+                hit = self._dev_cache.get(k)
+                if hit is not None and hit[0] is v:
+                    return hit[1]
+                d = _to_device(np.asarray(v, np.float32), self.dtype)
+                self._dev_cache[k] = (v, d)
+                return d
+
             base = base.replace(
-                **{k: _to_device(v, self.dtype) for k, v in updates.items() if k in valid}
+                **{k: dev(k, v) for k, v in updates.items() if k in valid}
             )
         return base
 

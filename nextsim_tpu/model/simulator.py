@@ -93,12 +93,15 @@ class Simulator:
         self.forcing_provider = make_provider(cfg, self.grid, self.dtype)
         # ensemble member > 0: perturbed forcing (reference: #ifdef ENSEMBLE,
         # externaldata.cpp:244-278; modules/enkf/perturbation)
+        self._ens_pert = None  # device-resident perturbation (chunked path)
+        self._pert_state = None
         if cfg["statevector.ensemble_member"] > 0:
             from nextsim_tpu.ensemble import EnsembleForcing
 
             self.forcing_provider = EnsembleForcing(
                 self.forcing_provider, self.grid, cfg
             )
+            self._ens_pert = self.forcing_provider
 
         # sharding (multi-chip): annotate the state with a 2-D mesh layout.
         # Node-staggered (ny+1, nx+1) leaves are end-padded to shard-divisible
@@ -375,6 +378,8 @@ class Simulator:
                         out.update(d)
             return out
 
+        pert = self._ens_pert
+
         def chunk_fn(state, forcing0, forcings_rest, tinfo0, tinfos_rest):
             state, diag, viol = raw(state, forcing0, tinfo0)
             acc = extract(state, diag)
@@ -395,8 +400,38 @@ class Simulator:
             last_extract = extract(state, diag)  # snapshot-mode moorings
             return state, diag, viol, acc, last_extract
 
+        def chunk_fn_pert(state, forcing0, forcings_rest, tinfo0, tinfos_rest,
+                          pert_state):
+            """Perturbed variant: the AR(1) forcing perturbation advances
+            inside the program (one chain update + application per step, in
+            step order), so perturbed runs cost zero extra host dispatches."""
+            pert_state, f0 = pert.apply(pert_state, forcing0)
+            state, diag, viol = raw(state, f0, tinfo0)
+            acc = extract(state, diag)
+
+            def body(carry, xs):
+                forcing, tinfo = xs
+                st, vmax, a, _dg, ps, _lf = carry
+                ps, fp = pert.apply(ps, forcing)
+                st, dg, vl = raw(st, fp, tinfo)
+                ex = extract(st, dg)
+                a = {kk: a[kk] + ex[kk] for kk in a}
+                return (st, jnp.maximum(vmax, vl), a, dg, ps, fp), None
+
+            (state, viol, acc, diag, pert_state, last_f), _ = jax.lax.scan(
+                body, (state, viol, acc, diag, pert_state, f0),
+                (forcings_rest, tinfos_rest),
+            )
+            last_extract = extract(state, diag)
+            if self.device_mesh is not None:
+                from nextsim_tpu.parallel.sharding import constrain_tree
+
+                pert_state = constrain_tree(pert_state, self.device_mesh)
+                last_f = constrain_tree(last_f, self.device_mesh)
+            return state, diag, viol, acc, last_extract, pert_state, last_f
+
         return jax.jit(
-            chunk_fn,
+            chunk_fn if pert is None else chunk_fn_pert,
             donate_argnums=(0,) if self.cfg["tpu.donate_state"] else (),
         )
 
@@ -407,8 +442,14 @@ class Simulator:
         self.timer.tick("forcing")
         dt_days = self.dt * dates.DAYS_IN_SEC
         t0 = self.current_time
+        # perturbed runs: base (unperturbed) forcing on host, AR(1) noise
+        # advanced and applied INSIDE the chunk program — zero per-step host
+        # dispatches (the reference perturbs on rank 0 at forcing load,
+        # externaldata.cpp:244-278; here the whole chain rides the scan)
+        pert = self._ens_pert
+        provider = pert.provider if pert is not None else self.forcing_provider
         forcings = [
-            self.forcing_provider(t0 + (i + 1) * dt_days, self.time_init)
+            provider(t0 + (i + 1) * dt_days, self.time_init)
             for i in range(k)
         ]
         if self.wim is not None:
@@ -419,19 +460,47 @@ class Simulator:
             forcings = [self._shard_forcing(f) for f in forcings]
         tinfos = [self.time_info_at(t0 + i * dt_days) for i in range(k)]
         # stack the tail along a leading axis for the scan's xs (None leaves
-        # are skipped by tree.map; the leaf structure is static per provider)
-        forcings_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *forcings[1:])
+        # are skipped by tree.map; the leaf structure is static per provider).
+        # The stacked tree is cached on the identity of every input leaf:
+        # with constant/static forcing the providers hand back the same
+        # device arrays each chunk, and re-stacking them cost ~30 device
+        # dispatches + transfers per chunk through a remote link.
+        leaf_ids = tuple(
+            id(leaf) for f in forcings[1:] for leaf in jax.tree_util.tree_leaves(f)
+        )
+        cache = getattr(self, "_stack_cache", None)
+        if cache is not None and cache[0] == leaf_ids:
+            forcings_rest = cache[1]
+        else:
+            forcings_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *forcings[1:])
+            # keep the source bundles alive so no id can be recycled
+            self._stack_cache = (leaf_ids, forcings_rest, list(forcings[1:]))
         tinfos_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *tinfos[1:])
         self.timer.tock("forcing")
 
         self.timer.tick("device_step")
         if self._chunk_fn is None:
             self._chunk_fn = self._build_chunk_fn(k)
-        self.state, self.diag, viol, acc, last_ex = self._chunk_fn(
-            self.state, forcings[0], forcings_rest, tinfos[0], tinfos_rest
-        )
+        if pert is not None:
+            if self._pert_state is None:
+                ps = pert.init_state()
+                if self.device_mesh is not None:
+                    from nextsim_tpu.parallel.sharding import shard_tree
+
+                    ps = shard_tree(ps, self.device_mesh)
+                self._pert_state = ps
+            (self.state, self.diag, viol, acc, last_ex,
+             self._pert_state, last_f) = self._chunk_fn(
+                self.state, forcings[0], forcings_rest, tinfos[0], tinfos_rest,
+                self._pert_state,
+            )
+            self.last_forcing = last_f
+        else:
+            self.state, self.diag, viol, acc, last_ex = self._chunk_fn(
+                self.state, forcings[0], forcings_rest, tinfos[0], tinfos_rest
+            )
+            self.last_forcing = forcings[-1]
         self.timer.tock("device_step")
-        self.last_forcing = forcings[-1]
         self.pcpt += k
 
         if self.moorings is not None and acc:

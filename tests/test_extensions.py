@@ -65,6 +65,60 @@ def test_ensemble_members_differ_control_unperturbed():
     assert float(np.asarray(members[1].precip).min()) >= 0.0
 
 
+def test_chunked_perturbed_run_matches_per_step():
+    """Device-resident perturbation (AR(1) chain advanced inside the fused
+    k-step chunk program) must reproduce the per-step host path: same member,
+    same seed, same forcing sequence, allclose final state."""
+    from nextsim_tpu.model.simulator import Simulator
+
+    def cfg(k):
+        return Config(overrides={
+            "grid.nx": 32, "grid.ny": 32, "grid.resolution": 10e3,
+            "simul.timestep": 600, "simul.time_init": "2015-10-16 00:00:00",
+            "dynamics.substeps": 30,
+            "thermo.use_thermo_forcing": False,
+            "setup.ice-type": "constant_partial",
+            "setup.atmosphere-type": "constant",
+            "setup.ocean-type": "constant",
+            "ideal_simul.constant_wind_u": 10.0,
+            "statevector.ensemble_member": 1,
+            "simul.spinup_duration": 0.0,
+            "tpu.donate_state": False,
+            "tpu.steps_per_call": k,
+        })
+
+    sim1 = Simulator(cfg(1))
+    for _ in range(4):
+        sim1.step()
+    sim4 = Simulator(cfg(4))
+    sim4.step_chunk()
+    assert sim4.pcpt == sim1.pcpt == 4
+
+    # the AR(1) streams are IDENTICAL: same key carry, same 4th-step
+    # perturbed forcing, bitwise (a cadence bug — e.g. double-advancing the
+    # chain — would shift the whole noise field by ~K)
+    np.testing.assert_array_equal(
+        np.asarray(sim1.forcing_provider.key), np.asarray(sim4._pert_state[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sim1.last_forcing.tair), np.asarray(sim4.last_forcing.tair)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sim1.last_forcing.wind_u), np.asarray(sim4.last_forcing.wind_u)
+    )
+    # states agree loosely: jit(step) vs jit(scan(step)) compile to different
+    # fusions, and BBM damage feedback amplifies reduction-order noise (the
+    # unperturbed control shows the same ~5e-2 spread over 4 steps)
+    for f in ("vt_u", "vt_v", "conc", "damage"):
+        a = np.asarray(getattr(sim1.host_state(), f))
+        b = np.asarray(getattr(sim4.host_state(), f))
+        np.testing.assert_allclose(a, b, atol=0.15, err_msg=f)
+    # the last forcing seen by outputs is the perturbed one
+    lf = sim4.last_forcing
+    base = sim4._ens_pert.provider(sim4.current_time, sim4.time_init)
+    assert not np.allclose(np.asarray(lf.tair), np.asarray(base.tair))
+
+
 def test_ensemble_ar1_correlation():
     grid = Grid.square(nx=24, ny=24, dx=10e3)
     cfg = Config(overrides={"statevector.ensemble_member": 1, "simul.timestep": 3600})
