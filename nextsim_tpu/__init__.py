@@ -1,6 +1,6 @@
 """nextsim_tpu — a TPU-native sea-ice modeling framework.
 
-A brand-new JAX/XLA/Pallas implementation of the capabilities of neXtSIM
+A brand-new JAX/XLA implementation of the capabilities of neXtSIM
 (nansencenter/nextsim): BBM / (m)EVP / free-drift sea-ice dynamics, zero-layer
 and Winton thermodynamics with a young-ice category, meltponds and ice-age
 tracers, Eulerian incremental-remapping advection, NetCDF forcing ingest,
