@@ -39,6 +39,26 @@ class Simulator:
         self.timer = Timer()
         self.grid = grid if grid is not None else Grid.from_config(cfg)
 
+        # tpu.mesh_shape = "DPYxDPX" builds the device mesh from config so a
+        # plain CLI run engages multi-chip (the analog of the reference's
+        # mpirun -np N; model/run.sh:55). An explicit `mesh` argument wins.
+        if mesh is None:
+            ms = str(cfg["tpu.mesh_shape"]).lower().strip()
+            if ms and ms not in ("1x1", ""):
+                from nextsim_tpu.parallel.sharding import make_device_mesh
+
+                dpy, dpx = (int(v) for v in ms.split("x"))
+                if dpy * dpx > 1:
+                    import jax as _jax
+
+                    devs = _jax.devices()
+                    if dpy * dpx > len(devs):
+                        raise ValueError(
+                            f"tpu.mesh_shape={ms} needs {dpy * dpx} devices; "
+                            f"only {len(devs)} visible"
+                        )
+                    mesh = make_device_mesh((dpy, dpx), devs[: dpy * dpx])
+
         dtype_name = cfg["tpu.dtype"]
         self.dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float64": jnp.float64}[dtype_name]
 

@@ -251,3 +251,33 @@ def test_scaling_harness_smoke():
     assert results[-1]["devices"] == len(jax.devices())
     for r in results:
         assert r["cell_substeps_per_s"] > 0
+
+
+def test_mesh_from_config_cli_path(tmp_path):
+    """tpu.mesh_shape engages the device mesh from plain config (the CLI
+    multi-chip path, analog of mpirun -np N; model/run.sh:55)."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    over = {
+        "grid.nx": 32, "grid.ny": 32, "grid.resolution": 10e3,
+        "simul.timestep": 200, "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.atmosphere-type": "constant", "setup.ocean-type": "constant",
+        "setup.ice-type": "constant_partial",
+        "ideal_simul.constant_wind_u": 8.0,
+        "simul.spinup_duration": 0.0,
+        "tpu.donate_state": False,
+    }
+    sim = Simulator(Config(overrides={**over, "tpu.mesh_shape": "2x4"}))
+    assert sim.device_mesh is not None
+    assert sim.device_mesh.devices.shape == (2, 4)
+    sim.step()
+    ref = Simulator(Config(overrides=over))
+    ref.step()
+    a = np.asarray(ref.host_state().vt_u)
+    b = np.asarray(sim.host_state().vt_u)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+    with pytest.raises(ValueError, match="devices"):
+        Simulator(Config(overrides={**over, "tpu.mesh_shape": "16x16"}))
