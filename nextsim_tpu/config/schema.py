@@ -16,6 +16,29 @@ TPU-specific options live in new sections that have no reference counterpart:
 String→enum validation follows the reference's getOptionFromMap
 (model/finiteelement.cpp:1517-1546): unknown values raise with the allowed
 list in the message.
+
+Accepted-but-inert options (parsed so reference configs load; no effect):
+
+* BAMG/Lagrangian-mesh era — the Eulerian grid has no remesh cycle:
+  ``debugging.{bamg,gmsh}_verbose``, ``numerics.regrid[_angle]``,
+  ``mesh.*`` (a mesh filename maps onto a grid preset),
+  ``restart.write_restart_{before,after}_regrid``,
+  ``output.export_{before,after}_regrid``.
+* inert in the REFERENCE itself (declared in options.cpp, read nowhere):
+  ``dynamics.Lemieux_basal_u_crit``, ``thermo.{Qdw,Fdw}`` (the code reads
+  ``ideal_simul.constant_{Qdw,Fdw}``).
+* single-process / derived-from-data here: ``debugging.test_proc_number``
+  (no MPI ranks), ``forecast.ecmwf_nrt_time_res_hours`` (time index comes
+  from the files), ``nesting.inner_mesh`` (outer-run output naming; this
+  build consumes nesting files, reference-format names accepted as-is).
+* coupling-stub scope (BASELINE.json names the stub): ``coupler.
+  {component_name,exchange_grid_file,BGC_active,rcv_first_layer_depth}``,
+  ``wave_coupling.{receive_wave_stress,floes_flex_strength,
+  dmax_c_threshold,debug_fsd}`` — wave stress/breakup arrive via the
+  wave_cpl forcing fields directly.
+* WIM: ``wim.useicevel`` (documented not-implemented, wim/wim.py),
+  ``wimsetup.{initialtime,duration}`` (the standalone CLI takes
+  ``--duration``), ``nextwim.exportresults`` (diagnostics always returned).
 """
 
 from __future__ import annotations

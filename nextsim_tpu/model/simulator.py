@@ -231,6 +231,10 @@ class Simulator:
             # interval anchors restart from the resumed step counter
             self._last_export_pcpt = self.pcpt
             self._last_restart_pcpt = self.pcpt
+            if cfg["restart.check_restart"]:
+                # audit the restarted fields (reference: M_check_restart ->
+                # checkFields at init, fe.cpp:7065-7070)
+                self._check_fields_detailed()
             # DataAssimilation at restart (reference: init() fe.cpp:7055-7058
             # -> DataAssimilation fe.cpp:509-525: slab ocean then ice, then
             # consistency check)
@@ -858,6 +862,8 @@ class Simulator:
                 self._drifter_last_move = t
                 conc = np.asarray(self.state.conc)
                 for d in self.drifters:
+                    if t < getattr(d, "active_from", 0.0) - 1e-9:
+                        continue  # fixed-init drifters (RGPS/SIDFEx) wait
                     d.move_by_displacement(du, dv)
                     if hasattr(d, "update_transient"):
                         d.update_transient(t, conc)

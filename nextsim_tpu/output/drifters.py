@@ -49,6 +49,12 @@ class DrifterSet:
         self.output_dt_days = output_dt_days
         self._last_output = time_init
         self.records: List[Dict] = []
+        #: fixed init time (RGPS/SIDFEx, reference TimingInfo fixed init,
+        #: drifters.cpp) — the buoys neither move nor output before this
+        self.active_from = time_init
+        #: flavour does not restore from restart files when set
+        #: (drifters.<tag>_ignore_restart)
+        self.ignore_restart = False
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -201,19 +207,24 @@ def instantiate_drifters(cfg, grid, conc, time_init: float) -> List[DrifterSet]:
     out: List[DrifterSet] = []
     limit = cfg["drifters.concentration_limit"]
     if cfg["drifters.use_equally_spaced_drifters"]:
-        out.append(
-            DrifterSet.equally_spaced(
-                grid, cfg["drifters.spacing"] * 1e3, conc, limit,
-                cfg["drifters.equally_spaced_drifters_output_time_step"], time_init,
-            )
+        d = DrifterSet.equally_spaced(
+            grid, cfg["drifters.spacing"] * 1e3, conc, limit,
+            cfg["drifters.equally_spaced_drifters_output_time_step"], time_init,
         )
+        d.ignore_restart = cfg["drifters.equally_spaced_ignore_restart"]
+        out.append(d)
     if cfg["drifters.use_sidfex_drifters"] and cfg["drifters.sidfex_filename"]:
-        out.append(
-            DrifterSet.from_text_file(
-                "sidfex", cfg["drifters.sidfex_filename"], grid, conc, limit,
-                cfg["drifters.sidfex_drifters_output_time_step"], time_init,
-            )
+        d = DrifterSet.from_text_file(
+            "sidfex", cfg["drifters.sidfex_filename"], grid, conc, limit,
+            cfg["drifters.sidfex_drifters_output_time_step"], time_init,
         )
+        # fixed init time (reference: TimingInfo fixed-init, fe.cpp:13700+)
+        tstr = cfg["drifters.sidfex_time_init"]
+        if tstr:
+            d.active_from = max(time_init, dates.string_to_datenum(tstr))
+            d._last_output = d.active_from
+        d.ignore_restart = cfg["drifters.sidfex_ignore_restart"]
+        out.append(d)
     if cfg["drifters.use_iabp_drifters"]:
         path = os.path.join(os.environ.get("NEXTSIM_DATA_DIR", "."), "IABP_buoys.txt")
         if os.path.exists(path):
@@ -222,6 +233,7 @@ def instantiate_drifters(cfg, grid, conc, time_init: float) -> List[DrifterSet]:
                 cfg["drifters.iabp_drifters_output_time_step"], time_init,
             )
             d.update_transient(time_init, np.asarray(conc))
+            d.ignore_restart = cfg["drifters.iabp_ignore_restart"]
             out.append(d)
     if cfg["drifters.use_osisaf_drifters"]:
         d = osisaf_drifters(
@@ -232,14 +244,22 @@ def instantiate_drifters(cfg, grid, conc, time_init: float) -> List[DrifterSet]:
         d.output_dt_days = cfg["drifters.osisaf_drifters_output_time_step"]
         out.append(d)
     if cfg["drifters.use_rgps_drifters"]:
-        path = os.path.join(os.environ.get("NEXTSIM_DATA_DIR", "."), "RGPS_buoys.txt")
+        # reference: RGPS_<drifters.RGPS_time_init>.txt under the data dir,
+        # buoys fixed-initialised at that time (fe.cpp:13644-13660)
+        data_dir = os.environ.get("NEXTSIM_DATA_DIR", ".")
+        tstr = cfg["drifters.RGPS_time_init"]
+        path = os.path.join(data_dir, f"RGPS_{tstr}.txt")
+        if not os.path.exists(path):
+            path = os.path.join(data_dir, "RGPS_buoys.txt")  # generic fallback
         if os.path.exists(path):
-            out.append(
-                DrifterSet.from_text_file(
-                    "rgps", path, grid, conc, limit,
-                    cfg["drifters.rgps_drifters_output_time_step"], time_init,
-                )
+            d = DrifterSet.from_text_file(
+                "rgps", path, grid, conc, limit,
+                cfg["drifters.rgps_drifters_output_time_step"], time_init,
             )
+            if tstr:
+                d.active_from = max(time_init, dates.string_to_datenum(tstr))
+                d._last_output = d.active_from
+            out.append(d)
     return out
 
 

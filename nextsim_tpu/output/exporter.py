@@ -77,6 +77,15 @@ def export_snapshot(sim, name: Optional[str] = None) -> str:
         if keep:  # unknown-only selections fall back to everything
             arrays = {k: v for k, v in arrays.items() if k in keep or k not in SPECS}
 
+    if cfg["output.save_diagnostics"] and getattr(sim, "diag", None):
+        # all diagnostic planes of the last step (reference: exportResults
+        # exports every diagnostic ModelVariable when output.save_diagnostics
+        # is set, fe.cpp:7348-7352)
+        diag = sim._crop(sim.diag)
+        for k, v in diag.items():
+            if v is not None and getattr(v, "ndim", 0) >= 2:
+                arrays[f"diag_{k}"] = np.asarray(v)
+
     if cfg["output.save_forcing_fields"] and getattr(sim, "last_forcing", None) is not None:
         import dataclasses as _dc
 

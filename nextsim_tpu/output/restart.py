@@ -98,6 +98,8 @@ def read_restart(sim, basename: Optional[str] = None) -> None:
         drifters = getattr(sim, "drifters", None)
         if drifters:
             for i, d in enumerate(drifters):
+                if getattr(d, "ignore_restart", False):
+                    continue  # drifters.<flavour>_ignore_restart: re-init
                 if f"__drifter{i}_x" in data:
                     d.x = data[f"__drifter{i}_x"]
                     d.y = data[f"__drifter{i}_y"]

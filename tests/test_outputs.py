@@ -554,3 +554,53 @@ def test_moorings_vector_rotation_east_north(tmp_path):
                 siv[np.isfinite(siv)], np.sin(ang)[np.isfinite(siv)], atol=1e-5
             )
         os.remove(fname)
+
+
+def test_save_diagnostics_and_drifter_fixed_init(tmp_path):
+    """output.save_diagnostics exports diagnostic planes; RGPS drifters with
+    a fixed init time stay inactive before it (fe.cpp:7348-7352,13644-13660)."""
+    import os
+
+    from nextsim_tpu.output.drifters import instantiate_drifters
+
+    cfg = Config(overrides={
+        "grid.nx": 32, "grid.ny": 32, "grid.resolution": 10e3,
+        "simul.timestep": 300, "simul.time_init": "2015-10-16 00:00:00",
+        "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant_partial",
+        "setup.atmosphere-type": "constant", "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 15.0,
+        "simul.spinup_duration": 0.0,
+        "output.exporter_path": str(tmp_path),
+        "output.save_diagnostics": True,
+        "tpu.donate_state": False,
+    })
+    sim = Simulator(cfg)
+    sim.step()
+    from nextsim_tpu.output.exporter import export_snapshot
+
+    p = export_snapshot(sim, name="diagtest")
+    data = np.load(p)
+    diag_keys = [k for k in data.files if k.startswith("diag_")]
+    assert diag_keys, "save_diagnostics exported no diagnostic planes"
+
+    # RGPS fixed init: file named RGPS_<time_str>.txt, inactive before it
+    tdir = tmp_path / "data"
+    tdir.mkdir()
+    (tdir / "RGPS_2015-11-01.txt").write_text("1 85.0 10.0\n2 86.0 100.0\n")
+    os.environ["NEXTSIM_DATA_DIR"] = str(tdir)
+    try:
+        cfg2 = Config(overrides={
+            "drifters.use_rgps_drifters": True,
+            "drifters.RGPS_time_init": "2015-11-01",
+        })
+        from nextsim_tpu.utils.dates import string_to_datenum
+
+        t0 = string_to_datenum("2015-10-16 00:00:00")
+        ds = instantiate_drifters(cfg2, sim.grid, np.asarray(sim.host_state().conc), t0)
+        rgps = [d for d in ds if d.tag == "rgps"]
+        assert rgps, "RGPS drifters not instantiated from RGPS_<time>.txt"
+        assert rgps[0].active_from == string_to_datenum("2015-11-01")
+    finally:
+        del os.environ["NEXTSIM_DATA_DIR"]
