@@ -864,6 +864,8 @@ class Simulator:
                 for d in self.drifters:
                     if t < getattr(d, "active_from", 0.0) - 1e-9:
                         continue  # fixed-init drifters (RGPS/SIDFEx) wait
+                    if d.maybe_reseed(t, conc):
+                        continue  # fresh 48 h window: seeded at t, no move
                     d.move_by_displacement(du, dv)
                     if hasattr(d, "update_transient"):
                         d.update_transient(t, conc)

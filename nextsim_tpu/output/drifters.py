@@ -55,6 +55,28 @@ class DrifterSet:
         #: flavour does not restore from restart files when set
         #: (drifters.<tag>_ignore_restart)
         self.ignore_restart = False
+        #: finite lifetime [days] (OSISAF: 2.0); 0 = infinite. On expiry the
+        #: set re-seeds via `reseed_fn(conc)` and starts a fresh window
+        #: (reference TimingInfo lifetime, fe.cpp:13598-13604)
+        self.lifetime_days = 0.0
+        self.reseed_fn = None
+
+    def maybe_reseed(self, t: float, conc: np.ndarray) -> bool:
+        """Finite-lifetime sets: at active_from + lifetime, re-initialise
+        positions from the seed grid and open the next window."""
+        if not self.lifetime_days or self.reseed_fn is None:
+            return False
+        if t < self.active_from + self.lifetime_days - 1e-9:
+            return False
+        x, y, ids = self.reseed_fn(conc)
+        self.x, self.y, self.ids = x, y, ids
+        self.alive = np.ones_like(self.x, dtype=bool)
+        # advance to the window containing t, staying on the schedule
+        # (reference restarts the 48 h window at expiry, not at check time)
+        self.active_from += self.lifetime_days * np.floor(
+            (t - self.active_from) / self.lifetime_days + 1e-9
+        )
+        return True
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -236,13 +258,11 @@ def instantiate_drifters(cfg, grid, conc, time_init: float) -> List[DrifterSet]:
             d.ignore_restart = cfg["drifters.iabp_ignore_restart"]
             out.append(d)
     if cfg["drifters.use_osisaf_drifters"]:
-        d = osisaf_drifters(
+        out.extend(osisaf_drifters(
             grid, conc, limit, time_init,
             refined=cfg["drifters.use_refined_osisaf_grid"],
-        )
-        d.tag = "osisaf"
-        d.output_dt_days = cfg["drifters.osisaf_drifters_output_time_step"]
-        out.append(d)
+            output_dt_days=cfg["drifters.osisaf_drifters_output_time_step"],
+        ))
     if cfg["drifters.use_rgps_drifters"]:
         # reference: RGPS_<drifters.RGPS_time_init>.txt under the data dir,
         # buoys fixed-initialised at that time (fe.cpp:13644-13660)
@@ -319,11 +339,30 @@ class TransientDrifterSet(DrifterSet):
             self.alive = np.concatenate([self.alive, c > self.conc_limit])
 
 
-def osisaf_drifters(grid, conc, conc_limit, time_init, refined: bool = False):
-    """OSISAF drift-product drifters (reference: drifters.hpp:38-43 +
-    instantiateDrifters fe.cpp:13565-13735): buoys on the OSISAF 62.5 km
-    polar-stereographic grid (optionally refined x9, i.e. 1/3 spacing in
-    each direction), re-seeded every 48 h in the reference's two staggered
-    pairs — here one set with a 2-day output period."""
+def osisaf_drifters(grid, conc, conc_limit, time_init, refined: bool = False,
+                    output_dt_days: float = 2.0):
+    """OSISAF drift-product drifters (reference: instantiateDrifters
+    fe.cpp:13574-13618): TWO staggered sets on the OSISAF 62.5 km grid
+    (optionally refined x9, i.e. 1/3 spacing), each starting at 12:00 on
+    consecutive days with a 2-day lifetime — on expiry a set re-seeds from
+    the grid wherever conc exceeds the limit, reproducing the product's
+    rolling 48 h drift-pair windows."""
     spacing = 62.5e3 / (3.0 if refined else 1.0)
-    return DrifterSet.equally_spaced(grid, spacing, conc, conc_limit, 2.0, time_init)
+    out = []
+    for i in range(2):
+        d = DrifterSet.equally_spaced(
+            grid, spacing, conc, conc_limit, output_dt_days, time_init
+        )
+        d.tag = f"osisaf{i}"
+        # start at 12:00, staggered by one day (fe.cpp:13598-13608)
+        d.active_from = float(np.ceil(time_init)) + 0.5 + i
+        d._last_output = d.active_from
+        d.lifetime_days = 2.0
+
+        def reseed(c, _g=grid, _s=spacing, _lim=conc_limit):
+            nd = DrifterSet.equally_spaced(_g, _s, c, _lim, 1.0, 0.0)
+            return nd.x, nd.y, nd.ids
+
+        d.reseed_fn = reseed
+        out.append(d)
+    return out

@@ -166,11 +166,22 @@ def test_osisaf_drifters():
 
     g = Grid.square(nx=32, ny=32, dx=25e3)
     conc = np.ones(g.shape, np.float32)
-    d = osisaf_drifters(g, conc, 0.15, 0.0)
-    n_coarse = len(d.x)
-    d9 = osisaf_drifters(g, conc, 0.15, 0.0, refined=True)
+    pair = osisaf_drifters(g, conc, 0.15, 0.0)
+    # reference semantics (fe.cpp:13574-13618): TWO sets starting at 12:00
+    # on consecutive days, each with a 48 h lifetime + re-seed
+    assert len(pair) == 2
+    assert pair[0].active_from == 0.5 and pair[1].active_from == 1.5
+    assert pair[0].lifetime_days == 2.0
+    n_coarse = len(pair[0].x)
+    d9 = osisaf_drifters(g, conc, 0.15, 0.0, refined=True)[0]
     # refined x9 => ~9x the buoys
     assert 5 * n_coarse < len(d9.x) < 13 * n_coarse
+    # lifetime expiry re-seeds from the current conc and rolls the window
+    d = pair[0]
+    conc2 = conc.copy(); conc2[:, :16] = 0.0  # half the domain melts out
+    assert d.maybe_reseed(2.6, conc2)
+    assert len(d.x) < n_coarse
+    assert d.active_from == 2.5  # stays on the 12:00 + 48h schedule
 
 
 @pytest.mark.slow
