@@ -63,9 +63,17 @@ class DrifterSet:
 
     def maybe_reseed(self, t: float, conc: np.ndarray) -> bool:
         """Finite-lifetime sets: at active_from + lifetime, re-initialise
-        positions from the seed grid and open the next window."""
+        positions from the seed grid and open the next window. Sets whose
+        activation lies in the future seed at activation (the reference
+        initialises each OSISAF window from the conc of its start time)."""
         if not self.lifetime_days or self.reseed_fn is None:
             return False
+        if getattr(self, "_needs_seed", False) and t >= self.active_from - 1e-9:
+            x, y, ids = self.reseed_fn(conc)
+            self.x, self.y, self.ids = x, y, ids
+            self.alive = np.ones_like(self.x, dtype=bool)
+            self._needs_seed = False
+            return True
         if t < self.active_from + self.lifetime_days - 1e-9:
             return False
         x, y, ids = self.reseed_fn(conc)
@@ -358,6 +366,7 @@ def osisaf_drifters(grid, conc, conc_limit, time_init, refined: bool = False,
         d.active_from = float(np.ceil(time_init)) + 0.5 + i
         d._last_output = d.active_from
         d.lifetime_days = 2.0
+        d._needs_seed = d.active_from > time_init + 1e-9  # seed at activation
 
         def reseed(c, _g=grid, _s=spacing, _lim=conc_limit):
             nd = DrifterSet.equally_spaced(_g, _s, c, _lim, 1.0, 0.0)

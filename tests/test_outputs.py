@@ -176,8 +176,10 @@ def test_osisaf_drifters():
     d9 = osisaf_drifters(g, conc, 0.15, 0.0, refined=True)[0]
     # refined x9 => ~9x the buoys
     assert 5 * n_coarse < len(d9.x) < 13 * n_coarse
-    # lifetime expiry re-seeds from the current conc and rolls the window
+    # activation seeds the window from the conc of its start time...
     d = pair[0]
+    assert d.maybe_reseed(0.6, conc)
+    # ...and lifetime expiry re-seeds and rolls to the next 48 h window
     conc2 = conc.copy(); conc2[:, :16] = 0.0  # half the domain melts out
     assert d.maybe_reseed(2.6, conc2)
     assert len(d.x) < n_coarse
