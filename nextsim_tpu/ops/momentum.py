@@ -216,7 +216,10 @@ def explicit_solve(
     dte_over_mass_const = dtep_const / jnp.maximum(min_m, node_mass)
     beta_cor_const = dtep_const * fcor
     # rotated ocean velocity and per-node drag projections are substep-
-    # invariant: hoist them so the loop pays one mul each for alpha/beta/tau
+    # invariant: hoist them so the loop pays one mul each for alpha/beta/tau.
+    # (Folding dom_cos/dom_sin/ocn_rot back into in-loop arithmetic to trade
+    # 3 plane reads for ~8 VPU ops was measured 40% SLOWER at 464^2 on v5e —
+    # the hoisted planes let XLA build cleaner fusions; keep the hoists.)
     dom_cos = dte_over_mass_const * cos_ota
     dom_sin = dte_over_mass_const * sin_ota_signed
     ocn_rot_x = forcing.ocean_u * cos_ota - forcing.ocean_v * sin_ota_signed
