@@ -186,6 +186,11 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
         ],
     ),
     "output.export_fields": (bool, True),
+    # TPU-native extension (no reference analog — the reference's rank-0
+    # Exporter writes stall the whole MPI job): when true, snapshot/restart
+    # compression + disk IO ride an ordered background worker thread
+    # (utils/async_writer.py) so the step loop never waits on the filesystem
+    "output.async_io": (bool, False),
     # --- ideal_simul (options.cpp:271-305)
     "ideal_simul.constant_bathymetry": (float, 200.0),
     "ideal_simul.init_thickness": (float, 1.0),

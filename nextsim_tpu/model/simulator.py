@@ -910,6 +910,11 @@ class Simulator:
                 d.write_netcdf(
                     os.path.join(cfg["output.exporter_path"], f"Drifters_{d.tag}.nc")
                 )
+        # every asynchronously-submitted snapshot/restart must be on disk
+        # (and any worker IO error surfaced) before the run is declared done
+        from nextsim_tpu.utils import async_writer
+
+        async_writer.flush()
         self.log.info("\n" + self.timer.print_all())
 
     def _crash_dump(self, msgs: List[str]) -> None:
@@ -918,6 +923,9 @@ class Simulator:
             from nextsim_tpu.output.exporter import export_snapshot
 
             export_snapshot(self, name="crash")
+            from nextsim_tpu.utils import async_writer
+
+            async_writer.flush()  # the dump must land before the raise kills us
         except Exception as e:  # noqa: BLE001 - best-effort crash dump
             self.log.error(f"crash export failed: {e}")
         stats = checks.field_stats(self.host_state())

@@ -95,7 +95,12 @@ def export_snapshot(sim, name: Optional[str] = None) -> str:
             if v is not None:
                 arrays[f"forcing_{f.name}"] = np.asarray(v)
     fname = os.path.join(path, f"field_{name}.npz")
-    np.savez_compressed(fname, **arrays)
+    if cfg["output.async_io"]:
+        from nextsim_tpu.utils import async_writer
+
+        async_writer.get_writer().submit(np.savez_compressed, fname, **arrays)
+    else:
+        np.savez_compressed(fname, **arrays)
     manifest = {
         "time": sim.current_time,
         "datetime": dates.datenum_to_string(sim.current_time, "%Y-%m-%dT%H:%M:%SZ"),

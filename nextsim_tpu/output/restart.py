@@ -65,7 +65,16 @@ def write_restart(sim, name: Optional[str] = None) -> str:
         # instead of re-spinning the spectrum from incident waves
         arrays["__wim_sdf"] = np.asarray(sim.wim.sdf)
     fname = os.path.join(path, f"restart_{name}.npz")
-    np.savez_compressed(fname, __meta__=json.dumps(meta), **arrays)
+    if cfg["output.async_io"]:
+        # arrays are already host numpy (frozen at submit time); only the
+        # compression + disk write rides the worker (utils/async_writer.py)
+        from nextsim_tpu.utils import async_writer
+
+        async_writer.get_writer().submit(
+            np.savez_compressed, fname, __meta__=json.dumps(meta), **arrays
+        )
+    else:
+        np.savez_compressed(fname, __meta__=json.dumps(meta), **arrays)
     return fname
 
 
@@ -76,6 +85,10 @@ def read_restart(sim, basename: Optional[str] = None) -> None:
     path = cfg["restart.input_path"] or os.path.join(cfg["output.exporter_path"], "restart")
     basename = basename or cfg["restart.basename"]
     fname = os.path.join(path, f"restart_{basename}.npz")
+    # a pending asynchronous write of this very file must land first
+    from nextsim_tpu.utils import async_writer
+
+    async_writer.flush()
     with np.load(fname, allow_pickle=False) as data:
         meta = json.loads(str(data["__meta__"]))
         g = meta["grid"]

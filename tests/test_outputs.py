@@ -617,3 +617,52 @@ def test_save_diagnostics_and_drifter_fixed_init(tmp_path):
         assert rgps[0].active_from == string_to_datenum("2015-11-01")
     finally:
         del os.environ["NEXTSIM_DATA_DIR"]
+
+
+def test_async_io_restart_and_snapshot(tmp_path):
+    """output.async_io: writes ride the background worker, flush makes them
+    durable, and the restored state is bitwise the saved one."""
+    cfg = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
+    cfg.set("output.async_io", True)
+    sim = Simulator(cfg)
+    for _ in range(2):
+        sim.step()
+
+    from nextsim_tpu.output.exporter import export_snapshot
+    from nextsim_tpu.utils import async_writer
+
+    snap = export_snapshot(sim, name="asynctest")
+    fname = restart_mod.write_restart(sim, name="asynctest")
+    async_writer.flush()
+    assert os.path.exists(snap) and os.path.exists(fname)
+    ref_conc = np.asarray(sim.state.conc)
+
+    cfg2 = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
+    cfg2.set("restart.type", "continue")
+    sim2 = Simulator(cfg2)
+    # read_restart itself flushes pending writes — write+read with no
+    # explicit flush in between must also work
+    fname2 = restart_mod.write_restart(sim, name="asynctest2")
+    restart_mod.read_restart(sim2, basename="asynctest2")
+    assert os.path.exists(fname2)
+    assert sim2.pcpt == 2
+    np.testing.assert_array_equal(np.asarray(sim2.state.conc), ref_conc)
+
+
+def test_async_io_error_surfaces(tmp_path, monkeypatch):
+    """A failing background write must raise at the next flush, not vanish."""
+    from nextsim_tpu.utils.async_writer import AsyncWriter
+
+    w = AsyncWriter()
+
+    def boom():
+        raise OSError("disk full")
+
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="asynchronous output write failed"):
+        w.flush()
+    # the writer recovers: subsequent writes succeed
+    sentinel = []
+    w.submit(sentinel.append, 1)
+    w.flush()
+    assert sentinel == [1]
