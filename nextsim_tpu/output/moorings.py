@@ -401,7 +401,15 @@ class Moorings:
         fname = self._filename(t)
         recs = self._records.setdefault(fname, [])
         recs.append((t, fields))
-        self._flush(fname)
+        if self.cfg["output.async_io"]:
+            # the whole NetCDF3 file is rewritten per append; snapshot the
+            # record list so a later append cannot race the pending rewrite
+            # (record tuples themselves are immutable once appended)
+            from nextsim_tpu.utils import async_writer
+
+            async_writer.get_writer().submit(self._flush, fname, list(recs))
+        else:
+            self._flush(fname, recs)
         return fname
 
     def _filename(self, t: float) -> str:
@@ -419,11 +427,10 @@ class Moorings:
             tag = dates.datenum_to_string(self.time_init, "%Y%m%d")
         return os.path.join(self.path, f"Moorings_{tag}.nc")
 
-    def _flush(self, fname: str):
+    def _flush(self, fname: str, recs):
         from scipy.io import netcdf_file
 
         os.makedirs(self.path, exist_ok=True)
-        recs = self._records[fname]
         nyo, nxo = self.out_shape
         rows = slice(None)
         if self.parallel:

@@ -622,10 +622,10 @@ def test_save_diagnostics_and_drifter_fixed_init(tmp_path):
 def test_async_io_restart_and_snapshot(tmp_path):
     """output.async_io: writes ride the background worker, flush makes them
     durable, and the restored state is bitwise the saved one."""
-    cfg = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
+    cfg = toy_cfg(tmp_path)  # moorings on: async covers the NetCDF rewrite
     cfg.set("output.async_io", True)
     sim = Simulator(cfg)
-    for _ in range(2):
+    for _ in range(4):
         sim.step()
 
     from nextsim_tpu.output.exporter import export_snapshot
@@ -635,6 +635,12 @@ def test_async_io_restart_and_snapshot(tmp_path):
     fname = restart_mod.write_restart(sim, name="asynctest")
     async_writer.flush()
     assert os.path.exists(snap) and os.path.exists(fname)
+    moor = [f for f in os.listdir(tmp_path) if f.startswith("Moorings")]
+    assert len(moor) == 1
+    from scipy.io import netcdf_file
+
+    with netcdf_file(os.path.join(tmp_path, moor[0]), "r", mmap=False) as nc:
+        assert nc.variables["sic"][:].shape[0] == 2  # both records flushed
     ref_conc = np.asarray(sim.state.conc)
 
     cfg2 = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
@@ -645,7 +651,7 @@ def test_async_io_restart_and_snapshot(tmp_path):
     fname2 = restart_mod.write_restart(sim, name="asynctest2")
     restart_mod.read_restart(sim2, basename="asynctest2")
     assert os.path.exists(fname2)
-    assert sim2.pcpt == 2
+    assert sim2.pcpt == 4
     np.testing.assert_array_equal(np.asarray(sim2.state.conc), ref_conc)
 
 
