@@ -59,3 +59,18 @@ def test_overrides_and_dump():
     assert cfg["simul.timestep"] == 450
     text = cfg.dump()
     assert "[dynamics]" in text and "substeps=120" in text
+
+
+def test_all_shipped_configs_parse():
+    """Every config under configs/ must parse through the schema (catches a
+    shipped option falling out of sync with config/schema.py)."""
+    import glob
+
+    from nextsim_tpu.config import Config
+
+    cfgs = sorted(glob.glob("configs/*.cfg"))
+    assert cfgs, "no shipped configs found (run from the repo root)"
+    for path in cfgs:
+        cfg = Config()
+        cfg.load_ini(path)
+        assert cfg["simul.timestep"] > 0, path
