@@ -22,6 +22,7 @@ bitwise-identical to the reference behaviour in timing-sensitive tests).
 
 from __future__ import annotations
 
+import atexit
 import queue
 import threading
 from typing import Callable, Optional
@@ -95,3 +96,9 @@ def flush() -> None:
     """Flush the process-wide writer if one exists (cheap no-op otherwise)."""
     if _writer is not None:
         _writer.flush()
+
+
+# the worker is a daemon thread: without this, queued writes submitted by a
+# user script that never reaches Simulator.finalise would die with the
+# interpreter (atexit runs before daemon threads are killed)
+atexit.register(flush)
