@@ -411,6 +411,11 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     # thermo date flags are sampled once per chunk, so keep N small relative
     # to the forcing cadence; incompatible with the coupler (falls back to 1)
     "tpu.steps_per_call": (int, 1),
+    # multi-chip schedule for the momentum substep loop: gspmd (XLA inserts
+    # the halo collectives) or shard_map (hand-scheduled seam blocks with one
+    # explicit ppermute ring exchange per substep, parallel/seam.py — the
+    # analog of the reference's per-substep updateGhosts, fe.cpp:10534)
+    "tpu.partition_mode": (str, "gspmd"),
 }
 
 # Allowed values for enum-like string options (reference: getOptionFromMap /
@@ -439,6 +444,7 @@ ENUMS: Dict[str, List[str]] = {
     "output.format": ["npz", "reference"],
     "moorings.file_length": ["inf", "daily", "weekly", "monthly", "yearly"],
     "tpu.dtype": ["float32", "bfloat16", "float64"],
+    "tpu.partition_mode": ["gspmd", "shard_map"],
     "wim.scatmod": ["dissipated", "isotropic"],
     "wim.advopt": ["notperiodic", "y-periodic", "xy-periodic"],
     "wim.fsdopt": ["PowerLawSmooth", "RG"],

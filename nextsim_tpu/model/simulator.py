@@ -291,6 +291,17 @@ class Simulator:
         use_thermo = self.use_thermo
         dynamics_type = dyn.dynamics_type
         crop, pad = self._crop, self._pad
+        # tpu.partition_mode=shard_map: hand-scheduled substep loop with one
+        # explicit ppermute ring exchange per substep (parallel/seam.py) —
+        # the analog of the reference's per-substep updateGhosts
+        # (fe.cpp:10534). Default gspmd lets XLA schedule the halos.
+        partition_mode = cfg["tpu.partition_mode"]
+        mesh = self.device_mesh
+        if partition_mode == "shard_map" and mesh is None:
+            raise ValueError(
+                "tpu.partition_mode=shard_map needs a device mesh: set "
+                "tpu.mesh_shape (e.g. 2x4) or pass mesh= to Simulator"
+            )
 
         def step_fn(state: State, forcing, tinfo) -> State:
             # boundary-padded (sharded) -> logical staggered view; the crop
@@ -349,7 +360,10 @@ class Simulator:
 
             # ---- dynamics (reference: fe.cpp:8197-8221) ------------------
             if dynamics_type in ("bbm", "evp", "mevp"):
-                state, mdiag = momentum.explicit_solve(state, forcing, ga, dt, dyn)
+                state, mdiag = momentum.explicit_solve(
+                    state, forcing, ga, dt, dyn,
+                    mesh=mesh, partition_mode=partition_mode,
+                )
                 diag.update(mdiag)
             elif dynamics_type == "free_drift":
                 state = momentum.free_drift(state, forcing, ga, dt, dyn)

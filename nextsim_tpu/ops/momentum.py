@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from types import SimpleNamespace
 
 import jax.numpy as jnp
 from jax import lax
@@ -96,18 +97,127 @@ def _basal_cbu(state, forcing, ssh_cell, p: DynParams):
     )
 
 
+def _build_substep(p: DynParams, dyn_type: str, dte: float, dt: float, dx, c):
+    """The per-substep physics body, layout-agnostic.
+
+    ``c`` is a namespace of constant planes. On the GSPMD path the planes are
+    the global (ny, nx)/(ny+1, nx+1) arrays and XLA inserts halo collectives
+    for the stencil reads; on the explicit shard_map path they are per-device
+    seam-overlapped local blocks (parallel/seam.py) and the caller exchanges
+    the velocity rings before invoking the body — one source of physics truth
+    for both schedules (reference hot loop: fe.cpp:10420-10573)."""
+
+    def substep(carry):
+        # sigma carried as separate planes: avoids a (3, ny, nx) stack/unstack
+        # copy per substep on the critical path
+        vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
+
+        # ---- rheology (reference: fe.cpp:10426-10441) --------------------
+        eps11, eps22, eps12 = stencil.strain_rates(vt_u, vt_v, dx)
+        if dyn_type == "bbm":
+            sxx, syy, sxy, damage = rheology.bbm_update_planes(
+                sxx, syy, sxy, damage, c.conc, c.thick,
+                c.cohesion, c.time_relaxation_damage,
+                eps11, eps22, eps12, dx, dte, p.bbm,
+                expC=c.bbm_expC, Pmax=c.bbm_pmax,
+                heal_rate=c.bbm_heal, rtd_coef=c.bbm_rtd,
+            )
+        elif dyn_type == "evp":
+            T = dt / 3.0
+            sxx, syy, sxy = rheology.vp_update_planes(
+                sxx, syy, sxy, c.conc, c.thick, eps11, eps22, eps12,
+                0.5 * dte / T, 0.5 * dte / T * p.evp.e * p.evp.e, p.evp,
+                P=c.evp_P,
+            )
+        elif dyn_type == "mevp":
+            ra = 1.0 / p.mevp_alpha
+            sxx, syy, sxy = rheology.vp_update_planes(
+                sxx, syy, sxy, c.conc, c.thick, eps11, eps22, eps12,
+                ra, ra, p.evp, P=c.evp_P,
+            )
+        else:
+            raise ValueError(dyn_type)
+
+        # ---- gradient terms (reference: fe.cpp:10444-10468) --------------
+        gsu, gsv = stencil.stress_divergence(sxx, syy, sxy, c.volume, dx)
+        grad_u = c.grad_ssh_u + gsu
+        grad_v = c.grad_ssh_v + gsv
+
+        # ---- node solve (reference: fe.cpp:10472-10529) ------------------
+        if dyn_type == "mevp":
+            b_mevp = p.mevp_beta + 1.0
+            delu = (c.vtm_u - vt_u) / b_mevp
+            delv = (c.vtm_v - vt_v) / b_mevp
+        else:
+            delu = 0.0
+            delv = 0.0
+
+        uice, vice = vt_u, vt_v
+
+        du = c.ocean_u - uice
+        dv = c.ocean_v - vice
+        # +1e-20 inside the norms: below float32 resolution everywhere except
+        # exactly 0 (where it adds ~1e-10 m/s), and it keeps sqrt's reverse-
+        # mode derivative finite — the whole dynamical core is reverse-
+        # differentiable for calibration/adjoint DA (tests/test_grad.py)
+        c_prime = phys.rhow * p.quad_drag_coef_water * jnp.sqrt(
+            du * du + dv * dv + 1e-20
+        )
+        tau_b = c.c_bu / (jnp.sqrt(uice * uice + vice * vice + 1e-20) + p.u0)
+        dte_over_mass = c.dte_over_mass_const
+        alpha = 1.0 + c.dom_cos * c_prime + dte_over_mass * tau_b
+        beta = c.beta_cor_const + c.dom_sin * c_prime
+        rdenom = 1.0 / (alpha * alpha + beta * beta)
+
+        tau_x = c.tau_ax + c_prime * c.ocn_rot_x
+        tau_y = c.tau_ay + c_prime * c.ocn_rot_y
+
+        grad_x = grad_u * c.rlmass
+        grad_y = grad_v * c.rlmass
+
+        # 2x2 solve in the factored alpha*A + beta*B form:
+        #   A = u + (dte/m)(grad_x + tau_x) + delu,  B likewise for v —
+        # algebraically identical to the expanded reference expression
+        # (fe.cpp:10505-10529) with ~1/3 fewer multiplies on the critical path
+        A = uice + dte_over_mass * (grad_x + tau_x) + delu
+        B = vice + dte_over_mass * (grad_y + tau_y) + delv
+        new_u = (alpha * A + beta * B) * rdenom
+        new_v = (alpha * B - beta * A) * rdenom
+
+        vt_u = jnp.where(c.solve, new_u, vt_u)
+        vt_v = jnp.where(c.solve, new_v, vt_v)
+
+        # ---- total displacement (reference: fe.cpp:10539-10553) ----------
+        if dyn_type != "mevp":
+            ut_u = ut_u + dte * vt_u
+            ut_v = ut_v + dte * vt_v
+
+        return (vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage)
+
+    return substep
+
+
 def explicit_solve(
     state,
     forcing,
     grid_arrays,
     dt: float,
     p: DynParams,
+    mesh=None,
+    partition_mode: str = "gspmd",
 ):
     """One full dynamics step. Returns (state', diag_dict).
 
     ``grid_arrays`` is a dict of static per-grid device arrays:
       mask (cell), node_mask, node_dirichlet, node_lat, delta_x (scalar [m]),
       cell_area (scalar [m^2]).
+
+    ``partition_mode='shard_map'`` (with a device ``mesh``) runs the substep
+    loop hand-scheduled: shard_map over seam-overlapped local blocks with one
+    explicit ppermute ring exchange of the velocities per substep — the
+    structured-grid analog of the reference's per-substep MPI updateGhosts
+    (fe.cpp:13963-14105, called from the hot loop at fe.cpp:10534). The
+    default 'gspmd' lets XLA schedule the halo collectives.
     """
     mask = grid_arrays["mask"]
     node_mask = grid_arrays["node_mask"]
@@ -232,91 +342,37 @@ def explicit_solve(
         else None
     )
 
-    def substep(s, carry):
-        # sigma carried as separate planes: avoids a (3, ny, nx) stack/unstack
-        # copy per substep on the critical path
-        vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
-
-        # ---- rheology (reference: fe.cpp:10426-10441) --------------------
-        eps11, eps22, eps12 = stencil.strain_rates(vt_u, vt_v, dx)
-        if dyn_type == "bbm":
-            sxx, syy, sxy, damage = rheology.bbm_update_planes(
-                sxx, syy, sxy, damage, state.conc, state.thick,
-                grid_arrays["cohesion"], state.time_relaxation_damage,
-                eps11, eps22, eps12, dx, dte, p.bbm,
-                expC=bbm_expC, Pmax=bbm_pmax,
-                heal_rate=bbm_heal, rtd_coef=bbm_rtd,
-            )
-        elif dyn_type == "evp":
-            T = dt / 3.0
-            sxx, syy, sxy = rheology.vp_update_planes(
-                sxx, syy, sxy, state.conc, state.thick, eps11, eps22, eps12,
-                0.5 * dte / T, 0.5 * dte / T * p.evp.e * p.evp.e, p.evp, P=evp_P,
-            )
-        elif dyn_type == "mevp":
-            ra = 1.0 / p.mevp_alpha
-            sxx, syy, sxy = rheology.vp_update_planes(
-                sxx, syy, sxy, state.conc, state.thick, eps11, eps22, eps12,
-                ra, ra, p.evp, P=evp_P,
-            )
-        else:
-            raise ValueError(dyn_type)
-
-        # ---- gradient terms (reference: fe.cpp:10444-10468) --------------
-        gsu, gsv = stencil.stress_divergence(sxx, syy, sxy, volume, dx)
-        grad_u = grad_ssh_u + gsu
-        grad_v = grad_ssh_v + gsv
-
-        # ---- node solve (reference: fe.cpp:10472-10529) ------------------
-        if dyn_type == "mevp":
-            b_mevp = p.mevp_beta + 1.0
-            delu = (vtm_u - vt_u) / b_mevp
-            delv = (vtm_v - vt_v) / b_mevp
-        else:
-            delu = 0.0
-            delv = 0.0
-
-        uice, vice = vt_u, vt_v
-
-        du = forcing.ocean_u - uice
-        dv = forcing.ocean_v - vice
-        # +1e-20 inside the norms: below float32 resolution everywhere except
-        # exactly 0 (where it adds ~1e-10 m/s), and it keeps sqrt's reverse-
-        # mode derivative finite — the whole dynamical core is reverse-
-        # differentiable for calibration/adjoint DA (tests/test_grad.py)
-        c_prime = phys.rhow * p.quad_drag_coef_water * jnp.sqrt(
-            du * du + dv * dv + 1e-20
-        )
-        tau_b = c_bu / (jnp.sqrt(uice * uice + vice * vice + 1e-20) + p.u0)
-        dte_over_mass = dte_over_mass_const
-        alpha = 1.0 + dom_cos * c_prime + dte_over_mass * tau_b
-        beta = beta_cor_const + dom_sin * c_prime
-        rdenom = 1.0 / (alpha * alpha + beta * beta)
-
-        tau_x = tau_ax + c_prime * ocn_rot_x
-        tau_y = tau_ay + c_prime * ocn_rot_y
-
-        grad_x = grad_u * rlmass
-        grad_y = grad_v * rlmass
-
-        # 2x2 solve in the factored alpha*A + beta*B form:
-        #   A = u + (dte/m)(grad_x + tau_x) + delu,  B likewise for v —
-        # algebraically identical to the expanded reference expression
-        # (fe.cpp:10505-10529) with ~1/3 fewer multiplies on the critical path
-        A = uice + dte_over_mass * (grad_x + tau_x) + delu
-        B = vice + dte_over_mass * (grad_y + tau_y) + delv
-        new_u = (alpha * A + beta * B) * rdenom
-        new_v = (alpha * B - beta * A) * rdenom
-
-        vt_u = jnp.where(solve, new_u, vt_u)
-        vt_v = jnp.where(solve, new_v, vt_v)
-
-        # ---- total displacement (reference: fe.cpp:10539-10553) ----------
-        if dyn_type != "mevp":
-            ut_u = ut_u + dte * vt_u
-            ut_v = ut_v + dte * vt_v
-
-        return (vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage)
+    consts = SimpleNamespace(
+        # cell planes
+        conc=state.conc,
+        thick=state.thick,
+        cohesion=grid_arrays["cohesion"],
+        time_relaxation_damage=state.time_relaxation_damage,
+        volume=volume,
+        bbm_expC=bbm_expC,
+        bbm_pmax=bbm_pmax,
+        bbm_heal=bbm_heal,
+        bbm_rtd=bbm_rtd,
+        evp_P=evp_P,
+        # node planes
+        grad_ssh_u=grad_ssh_u,
+        grad_ssh_v=grad_ssh_v,
+        tau_ax=tau_ax,
+        tau_ay=tau_ay,
+        dte_over_mass_const=dte_over_mass_const,
+        beta_cor_const=beta_cor_const,
+        dom_cos=dom_cos,
+        dom_sin=dom_sin,
+        ocn_rot_x=ocn_rot_x,
+        ocn_rot_y=ocn_rot_y,
+        ocean_u=forcing.ocean_u,
+        ocean_v=forcing.ocean_v,
+        c_bu=c_bu,
+        rlmass=rlmass,
+        solve=solve,
+        vtm_u=vtm_u,
+        vtm_v=vtm_v,
+    )
 
     # Hand-written Pallas substep kernels (single-block VMEM-resident and
     # K-substep-grouped blocked variants) were built and measured in rounds
@@ -329,7 +385,17 @@ def explicit_solve(
         vt_u, vt_v, state.ut_u, state.ut_v,
         state.sigma[0], state.sigma[1], state.sigma[2], state.damage,
     )
-    carry = lax.fori_loop(0, steps, substep, carry, unroll=p.substep_unroll)
+    if partition_mode == "shard_map" and mesh is not None:
+        from nextsim_tpu.parallel import seam
+
+        carry = seam.substep_loop(
+            mesh, p, dyn_type, dte, dt, dx, consts, carry, steps
+        )
+    else:
+        body = _build_substep(p, dyn_type, dte, dt, dx, consts)
+        carry = lax.fori_loop(
+            0, steps, lambda s, cr: body(cr), carry, unroll=p.substep_unroll
+        )
     vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
     sigma = jnp.stack([sxx, syy, sxy])
 
