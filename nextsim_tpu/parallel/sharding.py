@@ -21,9 +21,12 @@ inside the step and the re-pad at its exit are communication-free local
 slices. Cell dims that do not divide the mesh are a configuration error
 (raised, not silently replicated).
 
-An explicit shard_map + ppermute halo exchange exists in
-nextsim_tpu/parallel/halo.py as the hand-scheduled alternative for when
-real-pod profiling shows GSPMD's inserted collectives on the critical path.
+The hand-scheduled alternative — the full momentum substep loop under
+shard_map with one explicit ppermute ring exchange per substep — lives in
+nextsim_tpu/parallel/seam.py (tpu.partition_mode=shard_map), for when
+real-pod profiling shows GSPMD's inserted collectives on the critical path;
+tools/partition_mode_bench.py measures the two schedules head-to-head on
+whatever mesh is available.
 """
 
 from __future__ import annotations
