@@ -89,12 +89,20 @@ def main() -> None:
     state, diag, viol, acc, lex = chunk(sim.state, forcing, f_rest, tinfo, ti_rest)
     jax.block_until_ready(state)
 
+    # best of N timing windows: the TPU sits behind a tunnel whose latency
+    # jitter produced a ~9% spread across single-window runs (round-3 notes);
+    # best-of-N measures the device, not the link
     n_steps = 30
-    t0 = time.perf_counter()
-    for _ in range(n_steps // k):
-        state, diag, viol, acc, lex = chunk(state, forcing, f_rest, tinfo, ti_rest)
-    jax.block_until_ready(state)
-    dt_wall = time.perf_counter() - t0
+    n_windows = 4
+    dt_wall = float("inf")
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(n_steps // k):
+            state, diag, viol, acc, lex = chunk(
+                state, forcing, f_rest, tinfo, ti_rest
+            )
+        jax.block_until_ready(state)
+        dt_wall = min(dt_wall, time.perf_counter() - t0)
 
     cells = nx * ny
     raw_rate = cells * substeps * n_steps / dt_wall
@@ -120,6 +128,7 @@ def main() -> None:
                     "model_s_per_wall_s": round(steps_per_s * 200.0, 1),
                     "anchor_element_substeps_per_s": REF_ANCHOR_ELEMENT_SUBSTEPS_PER_S,
                     "anchor_note": "measured C++ hot loop x64-core ideal (tools/bench_anchor.py)",
+                    "timing": f"best of {n_windows} x {n_steps}-step windows",
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },
