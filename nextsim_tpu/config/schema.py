@@ -416,6 +416,11 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     # explicit ppermute ring exchange per substep, parallel/seam.py — the
     # analog of the reference's per-substep updateGhosts, fe.cpp:10534)
     "tpu.partition_mode": (str, "gspmd"),
+    # shard_map only: substeps per ring exchange (= ring width H). H>1 is
+    # communication-avoiding: one exchange refreshes H layers, then H
+    # substeps run with zero communication at ~2H/block redundant compute.
+    # Must divide dynamics.substeps and stay under the per-device block.
+    "tpu.halo_depth": (int, 1),
 }
 
 # Allowed values for enum-like string options (reference: getOptionFromMap /

@@ -296,6 +296,7 @@ class Simulator:
         # the analog of the reference's per-substep updateGhosts
         # (fe.cpp:10534). Default gspmd lets XLA schedule the halos.
         partition_mode = cfg["tpu.partition_mode"]
+        halo_depth = cfg["tpu.halo_depth"]
         mesh = self.device_mesh
         if partition_mode == "shard_map" and mesh is None:
             raise ValueError(
@@ -363,6 +364,7 @@ class Simulator:
                 state, mdiag = momentum.explicit_solve(
                     state, forcing, ga, dt, dyn,
                     mesh=mesh, partition_mode=partition_mode,
+                    halo_depth=halo_depth,
                 )
                 diag.update(mdiag)
             elif dynamics_type == "free_drift":

@@ -205,6 +205,7 @@ def explicit_solve(
     p: DynParams,
     mesh=None,
     partition_mode: str = "gspmd",
+    halo_depth: int = 1,
 ):
     """One full dynamics step. Returns (state', diag_dict).
 
@@ -217,7 +218,9 @@ def explicit_solve(
     explicit ppermute ring exchange of the velocities per substep — the
     structured-grid analog of the reference's per-substep MPI updateGhosts
     (fe.cpp:13963-14105, called from the hot loop at fe.cpp:10534). The
-    default 'gspmd' lets XLA schedule the halo collectives.
+    default 'gspmd' lets XLA schedule the halo collectives. ``halo_depth``
+    (shard_map only) trades redundant ring compute for H x fewer exchanges
+    (communication-avoiding; see parallel/seam.py).
     """
     mask = grid_arrays["mask"]
     node_mask = grid_arrays["node_mask"]
@@ -389,7 +392,8 @@ def explicit_solve(
         from nextsim_tpu.parallel import seam
 
         carry = seam.substep_loop(
-            mesh, p, dyn_type, dte, dt, dx, consts, carry, steps
+            mesh, p, dyn_type, dte, dt, dx, consts, carry, steps,
+            halo_depth=halo_depth,
         )
     else:
         body = _build_substep(p, dyn_type, dte, dt, dx, consts)

@@ -6,35 +6,43 @@ the *explicit* schedule — the structured-grid equivalent of the reference's
 per-substep MPI ghost exchange (FiniteElement::updateGhosts,
 model/finiteelement.cpp:13963-14105, called from the momentum hot loop at
 fe.cpp:10534): the substep loop runs inside `shard_map`, each device owns one
-block, and exactly one ppermute ring exchange of the two velocity planes per
-substep moves data — everything else is shard-local.
+block, and explicit ppermute ring exchanges of the two velocity planes move
+data — everything else is shard-local.
 
-Layout. With a ('y','x') device mesh of shape (dpy, dpx) and global cells
-(ny, nx) (mesh-divisible; the Simulator enforces this), device (a, b) holds
+Layout. With a ('y','x') device mesh of shape (dpy, dpx), global cells
+(ny, nx) (mesh-divisible; the Simulator enforces this) and halo depth H,
+device (a, b) holds
 
-* an *ext node block* of shape (By+3, Bx+3), By = ny//dpy: rows are global
-  node rows a*By-1 .. a*By+By+1 — one ring row each side of the owned range
+* an *ext node block* of shape (By+2H+1, Bx+2H+1), By = ny//dpy: global node
+  rows a*By-H .. a*By+By+H — H ring rows each side of the owned range
   a*By .. a*By+By. Seam rows (a*By) are OWNED BY BOTH adjacent devices and
   computed redundantly with bit-identical inputs, so no reconciliation is
   ever needed (the reference instead sums partial FE assemblies across the
   ghost ring; on a structured grid redundant compute is cheaper than the
   extra message).
-* an *ext cell block* of shape (By+2, Bx+2): global cell rows a*By-1 ..
-  a*By+By. The ring cells are recomputed locally each substep from the
-  exchanged velocity ring (their inputs equal the neighbour's interior
+* an *ext cell block* of shape (By+2H, Bx+2H): global cell rows a*By-H ..
+  a*By+By+H-1. Ring cells are recomputed locally each substep from the
+  exchanged velocity rings (their inputs equal the neighbour's interior
   inputs, so carried ring stress/damage stay consistent without ever being
   sent).
 
-Per substep: exchange vt_u, vt_v rings -> strain on all ext cells -> rheology
-on all ext cells -> stress divergence + node solve on the ext node block. Ring
-node values written by the solve are garbage (their stress-divergence stencil
-is incomplete) but are overwritten by the next exchange before any read; ring
-values beyond the global domain are zero-filled at layout construction and
-are annihilated by volume=0 / conc=0 on out-of-domain cells (same invariant
-as parallel/halo.py: the outermost global cells are land).
+Communication-avoiding depth (tpu.halo_depth = H > 1): one ring exchange
+refreshes H layers, after which H substeps run with ZERO communication — the
+correct-data frontier erodes inward exactly one node+cell layer per substep
+(strain consumes a node layer, the stress-divergence/solve consumes a cell
+layer), so after H substeps the owned region is still exact and the next
+exchange resets the frontier. Redundant compute grows as ~2H/B per axis;
+messages shrink by H. The classic latency trade for when ICI/DCN round-trips
+dominate the per-substep critical path (the reference has no equivalent —
+it pays one MPI exchange every substep, fe.cpp:10534).
 
-Equivalence with the GSPMD path is pinned by
-tests/test_parallel.py (sharded-vs-single and shard_map-vs-gspmd).
+Ring values beyond the global domain are zero-filled in the STATIC fields at
+layout construction (conc=0, volume=0 there annihilate any wrapped velocity
+garbage the periodic ppermute brings — same invariant as parallel/halo.py:
+the outermost global cells are land), so no special-casing at mesh edges.
+
+Equivalence with the GSPMD path and the single-device step is pinned by
+tests/test_parallel.py for H=1 and H>1.
 """
 
 from __future__ import annotations
@@ -53,82 +61,112 @@ from nextsim_tpu.parallel.halo import _shift_from
 # layout conversion (host-computed gather indices; traced once per jit)
 # ---------------------------------------------------------------------------
 
-def _ext_idx_cells(d: int, B: int) -> np.ndarray:
-    """Row indices into the 1-padded global cell array for the stacked ext
-    cell blocks: block a covers padded rows a*B .. a*B+B+1."""
-    return np.concatenate([a * B + np.arange(B + 2) for a in range(d)])
+def _ext_idx_cells(d: int, B: int, H: int) -> np.ndarray:
+    """Row indices into the H-padded global cell array for the stacked ext
+    cell blocks: block a covers global rows a*B-H .. a*B+B+H-1."""
+    return np.concatenate([a * B + np.arange(B + 2 * H) for a in range(d)])
 
 
-def _ext_idx_nodes(d: int, B: int) -> np.ndarray:
-    """Row indices into the 1-padded global node array for the stacked ext
-    node blocks: block a covers padded rows a*B .. a*B+B+2."""
-    return np.concatenate([a * B + np.arange(B + 3) for a in range(d)])
+def _ext_idx_nodes(d: int, B: int, H: int) -> np.ndarray:
+    """Row indices into the H-padded global node array for the stacked ext
+    node blocks: block a covers global rows a*B-H .. a*B+B+H."""
+    return np.concatenate([a * B + np.arange(B + 2 * H + 1) for a in range(d)])
 
 
-def _own_idx_cells(d: int, B: int, n: int) -> np.ndarray:
+def _own_idx_cells(d: int, B: int, H: int, n: int) -> np.ndarray:
     """Inverse: for each global cell row, its position in the stacked ext
-    layout (owning block a = j//B, local offset +1 for the ring)."""
+    layout (owning block a = j//B, local offset +H for the ring)."""
     j = np.arange(n)
     a = j // B
-    return a * (B + 2) + (j - a * B) + 1
+    return a * (B + 2 * H) + (j - a * B) + H
 
 
-def _own_idx_nodes(d: int, B: int, n: int) -> np.ndarray:
+def _own_idx_nodes(d: int, B: int, H: int, n: int) -> np.ndarray:
     """Inverse for node rows; the seam row a*B is read from the lower owner
     (both owners hold identical values by construction)."""
     r = np.arange(n)
     a = np.minimum(r // B, d - 1)
-    return a * (B + 3) + (r - a * B) + 1
+    return a * (B + 2 * H + 1) + (r - a * B) + H
 
 
-def to_ext_cells(g, dpy: int, dpx: int, By: int, Bx: int):
+def to_ext_cells(g, dpy: int, dpx: int, By: int, Bx: int, H: int = 1):
     """Global (ny, nx) cell plane -> stacked ext blocks
-    (dpy*(By+2), dpx*(Bx+2)), out-of-domain ring zero-filled."""
-    gp = jnp.pad(g, ((1, 1), (1, 1)))
-    return gp[_ext_idx_cells(dpy, By)[:, None], _ext_idx_cells(dpx, Bx)[None, :]]
+    (dpy*(By+2H), dpx*(Bx+2H)), out-of-domain ring zero-filled."""
+    gp = jnp.pad(g, ((H, H), (H, H)))
+    return gp[
+        _ext_idx_cells(dpy, By, H)[:, None], _ext_idx_cells(dpx, Bx, H)[None, :]
+    ]
 
 
-def to_ext_nodes(g, dpy: int, dpx: int, By: int, Bx: int):
+def to_ext_nodes(g, dpy: int, dpx: int, By: int, Bx: int, H: int = 1):
     """Global (ny+1, nx+1) node plane -> stacked ext blocks
-    (dpy*(By+3), dpx*(Bx+3)), out-of-domain ring zero-filled."""
-    gp = jnp.pad(g, ((1, 1), (1, 1)))
-    return gp[_ext_idx_nodes(dpy, By)[:, None], _ext_idx_nodes(dpx, Bx)[None, :]]
+    (dpy*(By+2H+1), dpx*(Bx+2H+1)), out-of-domain ring zero-filled."""
+    gp = jnp.pad(g, ((H, H), (H, H)))
+    return gp[
+        _ext_idx_nodes(dpy, By, H)[:, None], _ext_idx_nodes(dpx, Bx, H)[None, :]
+    ]
 
 
-def from_ext_cells(e, dpy: int, dpx: int, By: int, Bx: int, ny: int, nx: int):
-    return e[_own_idx_cells(dpy, By, ny)[:, None], _own_idx_cells(dpx, Bx, nx)[None, :]]
-
-
-def from_ext_nodes(e, dpy: int, dpx: int, By: int, Bx: int, ny: int, nx: int):
+def from_ext_cells(e, dpy, dpx, By, Bx, ny, nx, H: int = 1):
     return e[
-        _own_idx_nodes(dpy, By, ny + 1)[:, None],
-        _own_idx_nodes(dpx, Bx, nx + 1)[None, :],
+        _own_idx_cells(dpy, By, H, ny)[:, None],
+        _own_idx_cells(dpx, Bx, H, nx)[None, :],
+    ]
+
+
+def from_ext_nodes(e, dpy, dpx, By, Bx, ny, nx, H: int = 1):
+    return e[
+        _own_idx_nodes(dpy, By, H, ny + 1)[:, None],
+        _own_idx_nodes(dpx, Bx, H, nx + 1)[None, :],
     ]
 
 
 # ---------------------------------------------------------------------------
-# per-substep ring exchange (inside shard_map)
+# ring exchange (inside shard_map)
 # ---------------------------------------------------------------------------
 
-def exchange_seam_ring(ext, axes=("y", "x")):
-    """Refresh the 1-wide ring of a seam-overlapped ext node block.
+def exchange_seam_ring(ext, B_y: int, B_x: int, H: int = 1, axes=("y", "x")):
+    """Refresh the H-wide rings of a seam-overlapped ext node block.
 
     The seam row duplicates the neighbour's edge row, so the strips differ
-    from parallel/halo.exchange_halo: ring row 0 (global a*B-1) is the south
-    neighbour's interior row B-1 = its ext index B (== -3); ring row B+2 is
-    the north neighbour's interior row 1 = its ext index 2. y before x so the
-    x-pass payload carries refreshed y-rings and corners get the diagonal
-    neighbour's value in two hops (reference updateGhosts moves the same
-    per-substep velocity ghost ring, fe.cpp:13963-14105)."""
+    from parallel/halo.exchange_halo: the south ring (rows 0..H-1, global
+    a*B-H..a*B-1) is the south neighbour's interior rows B-H..B-1 = its ext
+    indices B..B+H-1; the north ring is the north neighbour's interior rows
+    1..H = its ext indices H+1..2H. y before x so the x-pass payload carries
+    refreshed y-rings and corners get the diagonal neighbour's value in two
+    hops (reference updateGhosts moves the same velocity ghost ring,
+    fe.cpp:13963-14105)."""
     y_axis, x_axis = axes
-    from_south = _shift_from(ext[-3:-2, :], y_axis, reverse=False)
-    from_north = _shift_from(ext[2:3, :], y_axis, reverse=True)
-    ext = ext.at[0:1, :].set(from_south)
-    ext = ext.at[-1:, :].set(from_north)
-    from_west = _shift_from(ext[:, -3:-2], x_axis, reverse=False)
-    from_east = _shift_from(ext[:, 2:3], x_axis, reverse=True)
-    ext = ext.at[:, 0:1].set(from_west)
-    ext = ext.at[:, -1:].set(from_east)
+    from_south = _shift_from(ext[B_y : B_y + H, :], y_axis, reverse=False)
+    from_north = _shift_from(ext[H + 1 : 2 * H + 1, :], y_axis, reverse=True)
+    ext = ext.at[:H, :].set(from_south)
+    ext = ext.at[-H:, :].set(from_north)
+    from_west = _shift_from(ext[:, B_x : B_x + H], x_axis, reverse=False)
+    from_east = _shift_from(ext[:, H + 1 : 2 * H + 1], x_axis, reverse=True)
+    ext = ext.at[:, :H].set(from_west)
+    ext = ext.at[:, -H:].set(from_east)
+    return ext
+
+
+def exchange_cell_ring(ext, B_y: int, B_x: int, H: int, axes=("y", "x")):
+    """Refresh the H-wide rings of an ext CELL block (carried stress/damage).
+
+    Needed only for halo_depth H>1: the vt exchange restores the velocity
+    frontier, but a carried ring cell at depth k erodes after k substeps and
+    is never recomputed correctly from local data — its value must come from
+    the owner. Cell blocks are not seam-overlapped, so the strips differ
+    from the node exchange: the south ring (global a*B-H..a*B-1) is the
+    south neighbour's ext indices B..B+H-1; the north ring is the north
+    neighbour's ext indices H..2H-1."""
+    y_axis, x_axis = axes
+    from_south = _shift_from(ext[B_y : B_y + H, :], y_axis, reverse=False)
+    from_north = _shift_from(ext[H : 2 * H, :], y_axis, reverse=True)
+    ext = ext.at[:H, :].set(from_south)
+    ext = ext.at[-H:, :].set(from_north)
+    from_west = _shift_from(ext[:, B_x : B_x + H], x_axis, reverse=False)
+    from_east = _shift_from(ext[:, H : 2 * H], x_axis, reverse=True)
+    ext = ext.at[:, :H].set(from_west)
+    ext = ext.at[:, -H:].set(from_east)
     return ext
 
 
@@ -136,22 +174,36 @@ def exchange_seam_ring(ext, axes=("y", "x")):
 # the loop
 # ---------------------------------------------------------------------------
 
-def substep_loop(mesh, p, dyn_type, dte, dt, dx, consts, carry, steps):
+def substep_loop(mesh, p, dyn_type, dte, dt, dx, consts, carry, steps,
+                 halo_depth: int = 1):
     """Run the momentum substep loop hand-scheduled over `mesh`.
 
     `consts` / `carry` are the global-layout planes from
     ops/momentum.explicit_solve (carry order: vt_u, vt_v, ut_u, ut_v, sxx,
     syy, sxy, damage — first four node planes, last four cell planes).
     Returns the carry in global layout. The physics body is the same
-    _build_substep the GSPMD path runs — one source of truth."""
+    _build_substep the GSPMD path runs — one source of truth.
+
+    ``halo_depth`` = substeps per exchange (communication-avoiding; must
+    divide `steps` and stay well under the block size)."""
     from jax import shard_map
 
     from nextsim_tpu.ops.momentum import _build_substep
 
+    H = int(halo_depth)
     dpy, dpx = mesh.devices.shape
     ny, nx = consts.conc.shape[-2:]
     By, Bx = ny // dpy, nx // dpx
     assert By * dpy == ny and Bx * dpx == nx, (consts.conc.shape, mesh.devices.shape)
+    if steps % H:
+        raise ValueError(
+            f"tpu.halo_depth={H} must divide dynamics.substeps={steps}"
+        )
+    if H >= min(By, Bx):
+        raise ValueError(
+            f"tpu.halo_depth={H} must be < the per-device block "
+            f"({By}x{Bx} cells on the ({dpy},{dpx}) mesh)"
+        )
 
     node_shape = (ny + 1, nx + 1)
 
@@ -159,8 +211,8 @@ def substep_loop(mesh, p, dyn_type, dte, dt, dx, consts, carry, steps):
         if getattr(v, "ndim", 0) != 2:
             return v
         if v.shape == node_shape:
-            return to_ext_nodes(v, dpy, dpx, By, Bx)
-        return to_ext_cells(v, dpy, dpx, By, Bx)
+            return to_ext_nodes(v, dpy, dpx, By, Bx, H)
+        return to_ext_cells(v, dpy, dpx, By, Bx, H)
 
     cdict = {k: v for k, v in vars(consts).items() if v is not None}
     none_keys = [k for k, v in vars(consts).items() if v is None]
@@ -180,13 +232,27 @@ def substep_loop(mesh, p, dyn_type, dte, dt, dx, consts, carry, steps):
         cl = SimpleNamespace(**consts_l, **{k: None for k in none_keys})
         body = _build_substep(p, dyn_type, dte, dt, dx, cl)
 
-        def sub(_, cr):
-            vt_u, vt_v, *rest = cr
-            vt_u = exchange_seam_ring(vt_u)
-            vt_v = exchange_seam_ring(vt_v)
-            return body((vt_u, vt_v, *rest))
+        def group(_, cr):
+            vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = cr
+            vt_u = exchange_seam_ring(vt_u, By, Bx, H)
+            vt_v = exchange_seam_ring(vt_v, By, Bx, H)
+            if H > 1:
+                # carried ring stress/damage at depth k erode after k
+                # substeps; restore them from their owners each group (for
+                # H=1 they stay exact by induction — skip the messages)
+                sxx = exchange_cell_ring(sxx, By, Bx, H)
+                syy = exchange_cell_ring(syy, By, Bx, H)
+                sxy = exchange_cell_ring(sxy, By, Bx, H)
+                damage = exchange_cell_ring(damage, By, Bx, H)
+            cr = (vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage)
+            # H communication-free substeps per exchange (compile-time
+            # unrolled; the correct-data frontier erodes one layer each)
+            for _ in range(H):
+                cr = body(cr)
+            return cr
 
-        return lax.fori_loop(0, steps, sub, carry_l, unroll=p.substep_unroll)
+        unroll = max(1, p.substep_unroll // H)
+        return lax.fori_loop(0, steps // H, group, carry_l, unroll=unroll)
 
     out = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs)(
         ext_carry, ext_consts
@@ -194,7 +260,7 @@ def substep_loop(mesh, p, dyn_type, dte, dt, dx, consts, carry, steps):
 
     def from_ext(v, is_node):
         if is_node:
-            return from_ext_nodes(v, dpy, dpx, By, Bx, ny, nx)
-        return from_ext_cells(v, dpy, dpx, By, Bx, ny, nx)
+            return from_ext_nodes(v, dpy, dpx, By, Bx, ny, nx, H)
+        return from_ext_cells(v, dpy, dpx, By, Bx, ny, nx, H)
 
     return tuple(from_ext(v, i < 4) for i, v in enumerate(out))

@@ -330,7 +330,8 @@ def test_seam_ring_exchange_matches_global(mesh8):
     poisoned = poisoned.at[:, :: Bx + 3].set(-999.0).at[:, Bx + 2 :: Bx + 3].set(-999.0)
 
     refreshed = shard_map(
-        seam.exchange_seam_ring, mesh=mesh8, in_specs=P("y", "x"), out_specs=P("y", "x")
+        lambda e: seam.exchange_seam_ring(e, By, Bx, 1),
+        mesh=mesh8, in_specs=P("y", "x"), out_specs=P("y", "x"),
     )(poisoned)
 
     want = np.asarray(ext)
@@ -345,11 +346,14 @@ def test_seam_ring_exchange_matches_global(mesh8):
             np.testing.assert_array_equal(got[rs, cs], want[rs, cs])
 
 
-def test_shard_map_substep_loop_matches_single_device(mesh8):
+@pytest.mark.parametrize("halo_depth", [1, 4])
+def test_shard_map_substep_loop_matches_single_device(mesh8, halo_depth):
     """tpu.partition_mode=shard_map (hand-scheduled seam blocks + explicit
-    per-substep ring exchange, parallel/seam.py) must agree with the
-    single-device step — the explicit analog of the reference's per-substep
-    updateGhosts (fe.cpp:10534)."""
+    ring exchange, parallel/seam.py) must agree with the single-device step
+    — the explicit analog of the reference's per-substep updateGhosts
+    (fe.cpp:10534). halo_depth=4 additionally proves the communication-
+    avoiding schedule (one 4-wide exchange per 4 substeps) leaves the owned
+    region exact."""
     from nextsim_tpu.config import Config
     from nextsim_tpu.model.simulator import Simulator
 
@@ -366,7 +370,11 @@ def test_shard_map_substep_loop_matches_single_device(mesh8):
     }
     sim1 = Simulator(Config(overrides=over))
     sim2 = Simulator(
-        Config(overrides={**over, "tpu.partition_mode": "shard_map"}), mesh=mesh8
+        Config(overrides={
+            **over, "tpu.partition_mode": "shard_map",
+            "tpu.halo_depth": halo_depth,
+        }),
+        mesh=mesh8,
     )
 
     f1 = sim1.forcing_provider(sim1.current_time, sim1.time_init)

@@ -34,7 +34,8 @@ from nextsim_tpu.model.simulator import Simulator
 from nextsim_tpu.parallel.sharding import make_device_mesh, shard_tree
 
 
-def measure(mode: str, mesh, n: int, n_steps: int = 20, reps: int = 3) -> dict:
+def measure(mode: str, mesh, n: int, n_steps: int = 20, reps: int = 3,
+            halo_depth: int = 1) -> dict:
     cfg = Config(
         overrides={
             "grid.preset": "arctic",
@@ -53,6 +54,7 @@ def measure(mode: str, mesh, n: int, n_steps: int = 20, reps: int = 3) -> dict:
             "simul.spinup_duration": 0.0,
             "tpu.donate_state": False,
             "tpu.partition_mode": mode,
+            "tpu.halo_depth": halo_depth,
         }
     )
     sim = Simulator(cfg, mesh=mesh)
@@ -74,6 +76,7 @@ def measure(mode: str, mesh, n: int, n_steps: int = 20, reps: int = 3) -> dict:
         best = min(best, (time.perf_counter() - t0) / n_steps)
     return {
         "mode": mode,
+        "halo_depth": halo_depth,
         "ms_per_step": round(best * 1e3, 3),
         "us_per_substep": round(best * 1e6 / 120, 2),
     }
@@ -87,8 +90,13 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     mesh = make_device_mesh(shape)
     print(f"# mesh {mesh.devices.shape} on {jax.devices()[0].platform}, grid {n}^2")
-    for mode in ("gspmd", "shard_map"):
-        out = measure(mode, mesh, n)
+    dpy, dpx = mesh.devices.shape
+    block = min(n // dpy, n // dpx)
+    runs = [("gspmd", 1)] + [
+        ("shard_map", h) for h in (1, 4, 8) if 120 % h == 0 and h < block
+    ]
+    for mode, h in runs:
+        out = measure(mode, mesh, n, halo_depth=h)
         out["mesh"] = list(mesh.devices.shape)
         out["grid"] = n
         print(json.dumps(out))
