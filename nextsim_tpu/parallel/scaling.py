@@ -18,7 +18,8 @@ from typing import List
 import jax
 
 
-def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 120) -> List[dict]:
+def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 120,
+            partition_mode: str = "gspmd", halo_depth: int = 1) -> List[dict]:
     from nextsim_tpu.config import Config
     from nextsim_tpu.model.simulator import Simulator
     from nextsim_tpu.parallel.sharding import make_device_mesh, shard_tree
@@ -49,6 +50,10 @@ def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 12
             "setup.ocean-type": "constant",
             "ideal_simul.constant_wind_u": 10.0,
             "tpu.donate_state": False,
+            # single device: shard_map needs a mesh axis to permute over;
+            # run the plain schedule for the baseline point
+            "tpu.partition_mode": partition_mode if nd > 1 else "gspmd",
+            "tpu.halo_depth": halo_depth,
         })
         sim = Simulator(cfg, mesh=mesh)
         forcing = shard_tree(sim.forcing_provider(sim.current_time, sim.time_init), mesh)
@@ -66,6 +71,7 @@ def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 12
             base_rate = per_dev
         results.append({
             "devices": nd,
+            "schedule": f"{partition_mode}@H{halo_depth}" if nd > 1 else "gspmd",
             "mesh": list(mesh.devices.shape),
             "grid": f"{nx}x{ny}",
             "cell_substeps_per_s": round(rate, 1),
@@ -79,5 +85,8 @@ def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 12
 if __name__ == "__main__":
     import sys
 
+    # usage: python -m nextsim_tpu.parallel.scaling [side] [gspmd|shard_map] [H]
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 304
-    measure(side)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "gspmd"
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    measure(side, partition_mode=mode, halo_depth=depth)
