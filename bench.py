@@ -94,7 +94,7 @@ def main() -> None:
     # best-of-N measures the device, not the link
     n_steps = 30
     n_windows = 4
-    dt_wall = float("inf")
+    windows = []
     for _ in range(n_windows):
         t0 = time.perf_counter()
         for _ in range(n_steps // k):
@@ -102,7 +102,8 @@ def main() -> None:
                 state, forcing, f_rest, tinfo, ti_rest
             )
         jax.block_until_ready(state)
-        dt_wall = min(dt_wall, time.perf_counter() - t0)
+        windows.append(time.perf_counter() - t0)
+    dt_wall = min(windows)
 
     cells = nx * ny
     raw_rate = cells * substeps * n_steps / dt_wall
@@ -129,6 +130,15 @@ def main() -> None:
                     "anchor_element_substeps_per_s": REF_ANCHOR_ELEMENT_SUBSTEPS_PER_S,
                     "anchor_note": "measured C++ hot loop x64-core ideal (tools/bench_anchor.py)",
                     "timing": f"best of {n_windows} x {n_steps}-step windows",
+                    # per-window rates so cross-round deltas stay comparable
+                    # to the single-window r1/r2 artifacts (ADVICE r3)
+                    "window_ocean_rates": [
+                        round(ocean_cells * substeps * n_steps / w, 1)
+                        for w in windows
+                    ],
+                    "aggregate_ocean_rate": round(
+                        ocean_cells * substeps * n_steps * n_windows / sum(windows), 1
+                    ),
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

@@ -303,6 +303,12 @@ class Simulator:
                 "tpu.partition_mode=shard_map needs a device mesh: set "
                 "tpu.mesh_shape (e.g. 2x4) or pass mesh= to Simulator"
             )
+        if partition_mode != "shard_map" and halo_depth != 1:
+            raise ValueError(
+                f"tpu.halo_depth={halo_depth} only affects the hand-scheduled "
+                "schedule; set tpu.partition_mode=shard_map (gspmd lets XLA "
+                "place the halo collectives and ignores halo_depth)"
+            )
 
         def step_fn(state: State, forcing, tinfo) -> State:
             # boundary-padded (sharded) -> logical staggered view; the crop
@@ -959,6 +965,18 @@ class Simulator:
         if k > 1 and self.nesting is not None:
             self.log.info("tpu.steps_per_call ignored: nesting relaxes per step")
             k = self._chunk_k = 1
+        if k > 1 and self.drifters:
+            # drifters move at chunk boundaries only; a cadence finer than
+            # the chunk would silently alias to the boundary, so clamp k
+            cad_days = min(d.output_dt_days for d in self.drifters)
+            cad_steps = max(1, round(cad_days / (self.dt * dates.DAYS_IN_SEC)))
+            if cad_steps < k:
+                self.log.info(
+                    f"tpu.steps_per_call clamped {k}->{cad_steps}: finest "
+                    f"drifter cadence ({cad_days:g} d) is finer than the chunk"
+                )
+                k = self._chunk_k = cad_steps
+                self._chunk_fn = None
         self.log.info(f"run: {n_steps} steps of {self.dt}s" + (f" ({k}/call)" if k > 1 else ""))
         ptime = max(1, n_steps * self.cfg["debugging.ptime_percent"] // 100)
         i = 0

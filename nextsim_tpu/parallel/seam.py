@@ -194,7 +194,14 @@ def substep_loop(mesh, p, dyn_type, dte, dt, dx, consts, carry, steps,
     dpy, dpx = mesh.devices.shape
     ny, nx = consts.conc.shape[-2:]
     By, Bx = ny // dpy, nx // dpx
-    assert By * dpy == ny and Bx * dpx == nx, (consts.conc.shape, mesh.devices.shape)
+    if By * dpy != ny or Bx * dpx != nx:
+        raise ValueError(
+            f"grid {ny}x{nx} is not divisible by the ({dpy},{dpx}) device "
+            "mesh (the Simulator pads to divisibility; direct callers must "
+            "pass mesh-divisible planes)"
+        )
+    if H < 1:
+        raise ValueError(f"tpu.halo_depth={H} must be >= 1")
     if steps % H:
         raise ValueError(
             f"tpu.halo_depth={H} must divide dynamics.substeps={steps}"

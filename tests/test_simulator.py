@@ -293,3 +293,62 @@ def jnp_asarray(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
+
+
+def test_halo_depth_requires_shard_map():
+    """tpu.halo_depth is only honoured by the hand-scheduled schedule; with
+    the default gspmd mode it must error rather than be silently ignored
+    (ADVICE r3)."""
+    with pytest.raises(ValueError, match="halo_depth"):
+        Simulator(toy_config(**{"tpu.halo_depth": 4}))
+
+
+def test_halo_depth_lower_bound():
+    """seam.substep_loop rejects halo_depth < 1 with a clear error instead
+    of an opaque ZeroDivisionError (ADVICE r3)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nextsim_tpu.parallel import seam
+
+    devs = np.array(jax.devices()[:1]).reshape(1, 1)
+    mesh = Mesh(devs, ("y", "x"))
+    sim = Simulator(toy_config(**{"grid.nx": 32, "grid.ny": 32}))
+    consts, carry = sim_momentum_planes(sim)
+    with pytest.raises(ValueError, match="halo_depth"):
+        seam.substep_loop(
+            mesh, sim.dyn, "bbm", 1.0, 300.0, 10e3, consts, carry, 8,
+            halo_depth=0,
+        )
+
+
+def sim_momentum_planes(sim):
+    """Tiny stand-in planes shaped like explicit_solve's consts/carry, just
+    enough for seam.substep_loop's validation paths."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    ny, nx = sim.grid.shape
+    cell = jnp.zeros((ny, nx))
+    node = jnp.zeros((ny + 1, nx + 1))
+    consts = SimpleNamespace(conc=cell)
+    carry = (node, node, node, node, cell, cell, cell, cell)
+    return consts, carry
+
+
+def test_chunk_clamped_to_drifter_cadence(tmp_path):
+    """A drifter output cadence finer than tpu.steps_per_call would alias
+    drifter moves to chunk boundaries; run() clamps k to the cadence."""
+    sim = Simulator(toy_config(**{
+        "grid.nx": 32, "grid.ny": 32,
+        "simul.duration": 0.0,  # clamp happens before the loop
+        "tpu.steps_per_call": 12,
+        "drifters.use_equally_spaced_drifters": True,
+        # 2 steps of 300 s
+        "drifters.equally_spaced_drifters_output_time_step": 600.0 / 86400.0,
+        "output.exporter_path": str(tmp_path),
+    }))
+    assert sim._chunk_k == 12
+    sim.run()
+    assert sim._chunk_k == 2
