@@ -85,9 +85,11 @@ def main(argv=None) -> int:
     init_distributed()
 
     from nextsim_tpu.model.simulator import Simulator
+    from nextsim_tpu.parallel.multihost import is_writer
 
     sim = Simulator(cfg)
-    write_log_file(sim)
+    if is_writer():
+        write_log_file(sim)
     sim.run()
     return 0
 

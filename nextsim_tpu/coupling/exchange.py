@@ -102,6 +102,10 @@ class Coupler:
     def _write_put(self, tag: str):
         from scipy.io import netcdf_file
 
+        from nextsim_tpu.parallel.multihost import is_writer
+
+        if not is_writer():
+            return  # accumulate() inputs were gathered; process 0 puts
         path = os.path.join(self.directory, f"cpl_out_{tag}.nc")
         ny, nx = self.grid.shape
         with netcdf_file(path, "w", version=2) as nc:

@@ -155,9 +155,10 @@ class Simulator:
 
             self.moorings = Moorings(cfg, self.grid, self.time_init)
         from nextsim_tpu.output.drifters import instantiate_drifters
+        from nextsim_tpu.parallel.multihost import gather_to_host
 
         self.drifters = instantiate_drifters(
-            cfg, self.grid, np.asarray(self.state.conc), self.time_init
+            cfg, self.grid, gather_to_host(self.state.conc), self.time_init
         )
         self._drifter_last_move = self.time_init
         self._drifter_ut_prev = None
@@ -184,7 +185,12 @@ class Simulator:
 
                 wim_grid = make_wim_grid(cfg, self.grid)
                 self._wim_regrid = Regridder(self.grid, wim_grid, self.dtype)
-            self.wim = Wim(WimParams.from_config(cfg), wim_grid, self.dtype)
+            # co-located WIM rides the model's device mesh (own-grid shapes
+            # that don't divide it fall back to unsharded inside Wim)
+            self.wim = Wim(
+                WimParams.from_config(cfg), wim_grid, self.dtype,
+                mesh=self.device_mesh,
+            )
             self.wim_couplingfreq = max(1, cfg["nextwim.couplingfreq"])
             self._wim_stress = None
             self._wim_wlbk = None
@@ -202,7 +208,11 @@ class Simulator:
 
             npar = NestingParams.from_config(cfg)
             dist = distance_to_open_boundary(self.grid)
-            weight = jnp.asarray(nudge_weight(dist, npar, self.dt), self.dtype)
+            # host constant: closed over by the step jit (multi-process jits
+            # may not close over device arrays; GSPMD shards constants)
+            weight = np.asarray(
+                nudge_weight(dist, npar, self.dt), np.dtype(self.dtype)
+            )
             source = make_nesting_source(cfg, self.grid)
             self.nesting = (npar, weight, source)
 
@@ -269,8 +279,15 @@ class Simulator:
         return constrain_tree(tree, self.device_mesh)
 
     def host_state(self) -> State:
-        """The state at logical shapes for host consumers (IO, drifters)."""
-        return self._crop(self.state)
+        """The GLOBAL state at logical shapes as host numpy, for host
+        consumers (IO, drifters, checks). Under multi-process execution the
+        sharded leaves are collectively all-gathered (the reference gathers
+        to rank 0 for IO, fe.cpp:2901-3557); single-process it is a plain
+        device->host copy, bit-identical to the device values. COLLECTIVE
+        when jax.process_count() > 1 — every process must call it."""
+        from nextsim_tpu.parallel.multihost import gather_to_host
+
+        return gather_to_host(self._crop(self.state))
 
     def _shard_forcing(self, forcing):
         """Place a fresh forcing bundle on the device mesh, node planes
@@ -310,7 +327,7 @@ class Simulator:
                 "place the halo collectives and ignores halo_depth)"
             )
 
-        def step_fn(state: State, forcing, tinfo) -> State:
+        def step_fn(state: State, forcing, tinfo, nest=None) -> State:
             # boundary-padded (sharded) -> logical staggered view; the crop
             # is shard-local by construction (see parallel/sharding.py)
             state = crop(state)
@@ -388,6 +405,19 @@ class Simulator:
                 )
                 diag.update(vdiag)
 
+            # ---- nesting sponge: relax toward the outer run, inside the
+            # device program so chunked stepping carries it (reference:
+            # nestingIce/nestingDynamics each step, fe.cpp:8172-8192).
+            # nest = (outer_fields, on_scalar); on=0 turns the relaxation
+            # off for steps with no outer data without changing the program.
+            if nest is not None and self.nesting is not None:
+                from nextsim_tpu.ops.nesting import apply_nesting
+
+                npar_, weight_, _src = self.nesting
+                outer_f, on = nest
+                # node planes arrive boundary-padded (sharded layout)
+                state = apply_nesting(state, crop(outer_f), weight_ * on, npar_)
+
             viol = checks.violations(state, use_young_ice=dyn.use_young_ice)
             # logical -> boundary-padded so every output leaf is sharded
             return pad(state), pad(diag), viol
@@ -412,28 +442,44 @@ class Simulator:
         """
         raw = self.raw_step_fn
         moorings = self.moorings
+        coupler = self.coupler
         crop = self._crop
 
         def extract(state, diag):
             out = {}
-            if moorings is not None:
+            if moorings is not None or coupler is not None:
                 state, diag = crop(state), crop(diag)
+            if moorings is not None:
                 for name in moorings.names:
                     d = moorings._extract(name, state, diag)
                     if d:
                         out.update(d)
+            if coupler is not None:
+                # coupler running means ride the scan exactly like moorings
+                # (reference: updateMeans for M_cpl_out then put at the
+                # coupler cadence, fe.cpp:8226-8265)
+                from nextsim_tpu.coupling.exchange import SENT_FIELDS
+
+                for name, (src, field) in SENT_FIELDS.items():
+                    arr = (
+                        getattr(state, field, None)
+                        if src == "state" else diag.get(field)
+                    )
+                    if arr is not None:
+                        out["__cpl_" + name] = arr
             return out
 
         pert = self._ens_pert
 
-        def chunk_fn(state, forcing0, forcings_rest, tinfo0, tinfos_rest):
-            state, diag, viol = raw(state, forcing0, tinfo0)
+        def chunk_fn(state, forcing0, forcings_rest, tinfo0, tinfos_rest,
+                     nest0=None, nests_rest=None):
+            state, diag, viol = raw(state, forcing0, tinfo0, nest0)
             acc = extract(state, diag)
 
             def body(carry, xs):
-                forcing, tinfo = xs
+                forcing, tinfo, nest = xs
                 st, vmax, a, _dg = carry
-                st, dg, vl = raw(st, forcing, tinfo)
+                st, dg, vl = raw(st, forcing, tinfo, nest)
                 ex = extract(st, dg)
                 a = {kk: a[kk] + ex[kk] for kk in a}
                 # diag rides the carry (only the last step's survives) —
@@ -441,32 +487,33 @@ class Simulator:
                 return (st, jnp.maximum(vmax, vl), a, dg), None
 
             (state, viol, acc, diag), _ = jax.lax.scan(
-                body, (state, viol, acc, diag), (forcings_rest, tinfos_rest)
+                body, (state, viol, acc, diag),
+                (forcings_rest, tinfos_rest, nests_rest),
             )
             last_extract = extract(state, diag)  # snapshot-mode moorings
             return state, diag, viol, acc, last_extract
 
         def chunk_fn_pert(state, forcing0, forcings_rest, tinfo0, tinfos_rest,
-                          pert_state):
+                          pert_state, nest0=None, nests_rest=None):
             """Perturbed variant: the AR(1) forcing perturbation advances
             inside the program (one chain update + application per step, in
             step order), so perturbed runs cost zero extra host dispatches."""
             pert_state, f0 = pert.apply(pert_state, forcing0)
-            state, diag, viol = raw(state, f0, tinfo0)
+            state, diag, viol = raw(state, f0, tinfo0, nest0)
             acc = extract(state, diag)
 
             def body(carry, xs):
-                forcing, tinfo = xs
+                forcing, tinfo, nest = xs
                 st, vmax, a, _dg, ps, _lf = carry
                 ps, fp = pert.apply(ps, forcing)
-                st, dg, vl = raw(st, fp, tinfo)
+                st, dg, vl = raw(st, fp, tinfo, nest)
                 ex = extract(st, dg)
                 a = {kk: a[kk] + ex[kk] for kk in a}
                 return (st, jnp.maximum(vmax, vl), a, dg, ps, fp), None
 
             (state, viol, acc, diag, pert_state, last_f), _ = jax.lax.scan(
                 body, (state, viol, acc, diag, pert_state, f0),
-                (forcings_rest, tinfos_rest),
+                (forcings_rest, tinfos_rest, nests_rest),
             )
             last_extract = extract(state, diag)
             if self.device_mesh is not None:
@@ -502,8 +549,43 @@ class Simulator:
             if (self.pcpt // k) % max(1, self.wim_couplingfreq // k) == 0:
                 self._wim_exchange(forcings[0])
             forcings = [self._apply_wim_forcing(f) for f in forcings]
+        if self.coupler is not None:
+            # fields received at the last window close override the whole
+            # chunk's forcing (k divides the coupler window — enforced in
+            # run() — so receives only ever change at chunk boundaries)
+            forcings = [self.coupler.apply_received(f) for f in forcings]
+        nest0 = nests_rest = None
+        if self.nesting is not None:
+            _, _, source = self.nesting
+            outers = [
+                source.fields_at(t0 + (i + 1) * dt_days) for i in range(k)
+            ]
+            if self.cfg["nesting.use_ocean_nesting"]:
+                # outer SST/SSS become the slab nudging targets per step
+                # (reference: forcingOcean ocean-nesting, fe.cpp:11133-11143)
+                for i, o in enumerate(outers):
+                    if o and "sst" in o and "sss" in o:
+                        forcings[i] = forcings[i].replace(
+                            ocean_temp=o["sst"], ocean_salt=o["sss"]
+                        )
+            for o in outers:  # prime the key template from the first data
+                if o:
+                    self._nest_bundle(o)
+                    break
+            bundles = [self._nest_bundle(o) for o in outers]
+            if bundles[0] is not None:
+                nest0 = bundles[0]
+                nests_rest = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *bundles[1:]
+                )
+            self._nesting_outer = outers[-1] or None
         if self.device_mesh is not None:
             forcings = [self._shard_forcing(f) for f in forcings]
+            if nest0 is not None:
+                from nextsim_tpu.parallel.sharding import shard_tree
+
+                nest0 = shard_tree(nest0, self.device_mesh)
+                nests_rest = shard_tree(nests_rest, self.device_mesh)
         tinfos = [self.time_info_at(t0 + i * dt_days) for i in range(k)]
         # stack the tail along a leading axis for the scan's xs (None leaves
         # are skipped by tree.map; the leaf structure is static per provider).
@@ -538,16 +620,39 @@ class Simulator:
             (self.state, self.diag, viol, acc, last_ex,
              self._pert_state, last_f) = self._chunk_fn(
                 self.state, forcings[0], forcings_rest, tinfos[0], tinfos_rest,
-                self._pert_state,
+                self._pert_state, nest0, nests_rest,
             )
             self.last_forcing = last_f
         else:
             self.state, self.diag, viol, acc, last_ex = self._chunk_fn(
-                self.state, forcings[0], forcings_rest, tinfos[0], tinfos_rest
+                self.state, forcings[0], forcings_rest, tinfos[0], tinfos_rest,
+                nest0, nests_rest,
             )
             self.last_forcing = forcings[-1]
         self.timer.tock("device_step")
         self.pcpt += k
+
+        if self.coupler is not None:
+            # in-scan coupler sums -> host running means; put/get when the
+            # window closes (k divides it; reference: fe.cpp:8226-8265)
+            from nextsim_tpu.parallel.multihost import gather_to_host
+
+            cpl = gather_to_host(
+                {kk[6:]: v for kk, v in acc.items() if kk.startswith("__cpl_")}
+            )
+            acc = {
+                kk: v for kk, v in acc.items() if not kk.startswith("__cpl_")
+            }
+            last_ex = {
+                kk: v for kk, v in last_ex.items()
+                if not kk.startswith("__cpl_")
+            }
+            for name, v in cpl.items():
+                self.coupler._accum[name] = (
+                    self.coupler._accum.get(name, 0.0) + np.asarray(v, np.float64)
+                )
+            self.coupler._count += k
+            self.coupler.maybe_exchange(self.current_time)  # pcpt already += k
 
         if self.moorings is not None and acc:
             if self.moorings.snapshot:
@@ -711,6 +816,29 @@ class Simulator:
             repl["wlbk"] = self._wim_wlbk
         return _dc.replace(forcing, **repl) if repl else forcing
 
+    def _nest_bundle(self, outer):
+        """(outer_fields, on) with a run-stable pytree structure for the
+        in-program nesting relaxation. Steps with no outer data get the
+        zero template with on=0 (a no-op relax) so chunked scans see one
+        structure; None is returned only before any outer data exists."""
+        keys = getattr(self, "_nest_keys", None)
+        if outer:
+            if keys is None:
+                self._nest_keys = keys = tuple(sorted(outer))
+                self._nest_zeros = {
+                    kk: jnp.zeros_like(jnp.asarray(outer[kk])) for kk in keys
+                }
+            if any(kk not in outer for kk in keys):
+                # a partial bundle would wrongly relax the missing fields
+                # toward zero — treat the whole step as data-free
+                return (self._nest_zeros, jnp.asarray(0.0, self.dtype))
+            return (
+                {kk: outer[kk] for kk in keys}, jnp.asarray(1.0, self.dtype)
+            )
+        if keys is not None:
+            return (self._nest_zeros, jnp.asarray(0.0, self.dtype))
+        return None
+
     def step(self) -> None:
         self.timer.tick("step")
         self.timer.tick("forcing")
@@ -738,10 +866,19 @@ class Simulator:
             forcing = self._apply_wim_forcing(forcing)
         forcing = self._shard_forcing(forcing)
         tinfo = self.time_info()
+        nest = None
+        if self.nesting is not None:
+            nest = self._nest_bundle(self._nesting_outer)
+            if nest is not None and self.device_mesh is not None:
+                from nextsim_tpu.parallel.sharding import shard_tree
+
+                nest = shard_tree(nest, self.device_mesh)
         self.timer.tock("forcing")
 
         self.timer.tick("device_step")
-        self.state, self.diag, viol = self._step_fn(self.state, forcing, tinfo)
+        self.state, self.diag, viol = self._step_fn(
+            self.state, forcing, tinfo, nest
+        )
         self.timer.tock("device_step")
         self.last_forcing = forcing  # for output.save_forcing_fields
         if self.wim is not None:
@@ -755,18 +892,15 @@ class Simulator:
                     dfloe = self._wim_regrid.to_model(dfloe)
                 self.diag.setdefault("dmax", dfloe)
 
-        if self.nesting is not None:
-            from nextsim_tpu.ops.nesting import apply_nesting
-
-            npar, weight, _ = self.nesting
-            if self._nesting_outer:
-                self.state = apply_nesting(self.state, self._nesting_outer, weight, npar)
-
         self.pcpt += 1
 
         if self.coupler is not None:
             # (reference: OASIS put block, fe.cpp:8226-8265)
-            self.coupler.accumulate(self.host_state(), self._crop(self.diag))
+            from nextsim_tpu.parallel.multihost import gather_to_host
+
+            self.coupler.accumulate(
+                self.host_state(), gather_to_host(self._crop(self.diag))
+            )
             self.coupler.maybe_exchange(self.current_time)
 
         self.timer.tick("outputs")
@@ -807,8 +941,10 @@ class Simulator:
         """Slow per-element audit behind debugging.check_fields (reference:
         checkFields, fe.cpp:14661-14860), incl. the targeted single-cell
         printout behind debugging.test_element_number."""
+        from nextsim_tpu.parallel.multihost import gather_to_host
+
         hstate = self.host_state()
-        lf = self._crop(getattr(self, "last_forcing", None))
+        lf = gather_to_host(self._crop(getattr(self, "last_forcing", None)))
         itest = self.cfg["debugging.test_element_number"]
         if itest >= 0:
             j, i = divmod(int(itest), self.grid.nx)
@@ -826,6 +962,12 @@ class Simulator:
             assimilate_slab_ocean,
         )
 
+        if self.device_mesh is not None:
+            # the blend kernels are host-numpy: gather the sharded state to
+            # the logical global view first, re-shard after (reference: the
+            # assimilation paths run on gathered fields too)
+            self.state = self.host_state()
+        mask = np.asarray(self.grid.mask, dtype=np.dtype(self.dtype))
         forcing = self.forcing_provider(self.current_time, self.time_init)
         mu = self.cfg["thermo.freezingpoint_mu"]
         fp = lambda sss: -mu * sss  # noqa: E731  (linear freezing point)
@@ -833,12 +975,13 @@ class Simulator:
             self.cfg, self.state, forcing.ocean_temp, forcing.ocean_salt, fp
         )
         self.state = assimilate_ice(
-            self.cfg, self.grid, self.state, self.grid_arrays["mask"],
-            self.time_init,
+            self.cfg, self.grid, self.state, mask, self.time_init,
         )
-        self.state = init_state.check_consistency(
-            self.cfg, self.state, self.grid_arrays["mask"]
-        )
+        self.state = init_state.check_consistency(self.cfg, self.state, mask)
+        if self.device_mesh is not None:
+            from nextsim_tpu.parallel.sharding import shard_tree
+
+            self.state = shard_tree(self.state, self.device_mesh)
 
     def assimilate(self, obs_conc) -> None:
         """Assimilate an observed concentration analysis into the state
@@ -846,13 +989,18 @@ class Simulator:
         11634-11662): replace conc, track conc_upd, re-check consistency."""
         from nextsim_tpu.model.init_ice_datasets import assimilate_conc
 
+        if self.device_mesh is not None:
+            self.state = self.host_state()  # see data_assimilation
+        mask = np.asarray(self.grid.mask, dtype=np.dtype(self.dtype))
         self.state = assimilate_conc(
-            self.state, obs_conc, self.grid_arrays["mask"],
+            self.state, obs_conc, mask,
             min_h=self.cfg["dynamics.min_h"],
         )
-        self.state = init_state.check_consistency(
-            self.cfg, self.state, self.grid_arrays["mask"]
-        )
+        self.state = init_state.check_consistency(self.cfg, self.state, mask)
+        if self.device_mesh is not None:
+            from nextsim_tpu.parallel.sharding import shard_tree
+
+            self.state = shard_tree(self.state, self.device_mesh)
 
     def _check_outputs(self, skip_moorings_means: bool = False) -> None:
         """Per-step output handling (reference: checkOutputs, fe.cpp:
@@ -882,7 +1030,7 @@ class Simulator:
                 dv = ut_v - self._drifter_ut_prev[1]
                 self._drifter_ut_prev = (ut_u, ut_v)
                 self._drifter_last_move = t
-                conc = np.asarray(self.state.conc)
+                conc = np.asarray(hstate.conc)
                 for d in self.drifters:
                     if t < getattr(d, "active_from", 0.0) - 1e-9:
                         continue  # fixed-init drifters (RGPS/SIDFEx) wait
@@ -927,8 +1075,12 @@ class Simulator:
             write_restart(self, name="final")
         import os
 
+        from nextsim_tpu.parallel.multihost import is_writer
+
         for d in self.drifters:
-            if d.records:
+            # drifter state is identical on every process (moved from the
+            # gathered displacement); process 0 writes the trajectory file
+            if d.records and is_writer():
                 d.write_netcdf(
                     os.path.join(cfg["output.exporter_path"], f"Drifters_{d.tag}.nc")
                 )
@@ -960,11 +1112,20 @@ class Simulator:
             n_steps = min(n_steps, self.maxiteration)
         k = self._chunk_k
         if k > 1 and self.coupler is not None:
-            self.log.info("tpu.steps_per_call ignored: coupler needs per-step puts")
-            k = self._chunk_k = 1
-        if k > 1 and self.nesting is not None:
-            self.log.info("tpu.steps_per_call ignored: nesting relaxes per step")
-            k = self._chunk_k = 1
+            # puts happen at chunk boundaries, so k must divide the coupler
+            # window (reference cadence: coupler.timestep, fe.cpp:8226-8265);
+            # the in-scan accumulation keeps the means per-step exact
+            win_steps = max(1, round(self.coupler.dt_cpl / self.dt))
+            k_new = k
+            while win_steps % k_new:
+                k_new -= 1
+            if k_new != k:
+                self.log.info(
+                    f"tpu.steps_per_call clamped {k}->{k_new}: must divide "
+                    f"the coupler window ({win_steps} steps)"
+                )
+                k = self._chunk_k = k_new
+                self._chunk_fn = None
         if k > 1 and self.drifters:
             # drifters move at chunk boundaries only; a cadence finer than
             # the chunk would silently alias to the boundary, so clamp k

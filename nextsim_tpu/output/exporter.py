@@ -77,11 +77,13 @@ def export_snapshot(sim, name: Optional[str] = None) -> str:
         if keep:  # unknown-only selections fall back to everything
             arrays = {k: v for k, v in arrays.items() if k in keep or k not in SPECS}
 
+    from nextsim_tpu.parallel.multihost import gather_to_host, is_writer
+
     if cfg["output.save_diagnostics"] and getattr(sim, "diag", None):
         # all diagnostic planes of the last step (reference: exportResults
         # exports every diagnostic ModelVariable when output.save_diagnostics
         # is set, fe.cpp:7348-7352)
-        diag = sim._crop(sim.diag)
+        diag = gather_to_host(sim._crop(sim.diag))
         for k, v in diag.items():
             if v is not None and getattr(v, "ndim", 0) >= 2:
                 arrays[f"diag_{k}"] = np.asarray(v)
@@ -89,12 +91,16 @@ def export_snapshot(sim, name: Optional[str] = None) -> str:
     if cfg["output.save_forcing_fields"] and getattr(sim, "last_forcing", None) is not None:
         import dataclasses as _dc
 
-        last_forcing = sim._crop(sim.last_forcing)
+        last_forcing = gather_to_host(sim._crop(sim.last_forcing))
         for f in _dc.fields(last_forcing):
             v = getattr(last_forcing, f.name)
             if v is not None:
                 arrays[f"forcing_{f.name}"] = np.asarray(v)
     fname = os.path.join(path, f"field_{name}.npz")
+    if not is_writer():
+        # gathers above are collective (all processes); only process 0
+        # touches the filesystem (reference: Exporter on rank 0)
+        return fname
     if cfg["output.async_io"]:
         from nextsim_tpu.utils import async_writer
 

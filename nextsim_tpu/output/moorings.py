@@ -377,8 +377,13 @@ class Moorings:
         return self._write_record(t)
 
     def _write_record(self, t: float) -> str:
+        # sharded running sums -> global host arrays (collective under
+        # multi-process; plain np.asarray single-process)
+        from nextsim_tpu.parallel.multihost import gather_to_host
+
+        accum = gather_to_host(self._accum)
         fields = {}
-        for key, acc in self._accum.items():
+        for key, acc in accum.items():
             mean = np.asarray(acc) / self._count
             # remap to output grid
             if mean.shape == self.grid.shape:
@@ -401,6 +406,12 @@ class Moorings:
         fname = self._filename(t)
         recs = self._records.setdefault(fname, [])
         recs.append((t, fields))
+        # non-parallel output is written by process 0 only (the reference's
+        # rank-0 GridOutput path); parallel mode writes per-process y-slabs
+        from nextsim_tpu.parallel.multihost import is_writer
+
+        if not self.parallel and not is_writer():
+            return fname
         if self.cfg["output.async_io"]:
             # the whole NetCDF3 file is rewritten per append; snapshot the
             # record list so a later append cannot race the pending rewrite

@@ -186,5 +186,8 @@ def write_state(sim, name: str, precision: str = "float") -> str:
         if fname in ("vt_v", "ut_v"):
             continue
         records.append((spec.export_name, precision, arr.ravel()))
-    write_file(path, records)
+    from nextsim_tpu.parallel.multihost import is_writer
+
+    if is_writer():  # host_state() above already gathered collectively
+        write_file(path, records)
     return path + ".bin"

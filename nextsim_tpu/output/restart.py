@@ -60,11 +60,19 @@ def write_restart(sim, name: Optional[str] = None) -> str:
     # WIM floe-number field (the WAVES-era M_nfloes prognostic participates
     # in the reference restart)
     if getattr(sim, "wim", None) is not None and getattr(sim, "_wim_nfloes", None) is not None:
-        arrays["__wim_nfloes"] = np.asarray(sim._wim_nfloes)
+        from nextsim_tpu.parallel.multihost import gather_to_host
+
+        arrays["__wim_nfloes"] = gather_to_host(sim._wim_nfloes)
         # wave-spectrum persistence: resumes keep sub-window swell memory
         # instead of re-spinning the spectrum from incident waves
-        arrays["__wim_sdf"] = np.asarray(sim.wim.sdf)
+        arrays["__wim_sdf"] = gather_to_host(sim.wim.sdf)
     fname = os.path.join(path, f"restart_{name}.npz")
+    from nextsim_tpu.parallel.multihost import is_writer
+
+    if not is_writer():
+        # host_state() above is the collective gather; only process 0 writes
+        # (reference: writeRestart on rank 0, fe.cpp:9503-9696)
+        return fname
     if cfg["output.async_io"]:
         # arrays are already host numpy (frozen at submit time); only the
         # compression + disk write rides the worker (utils/async_writer.py)

@@ -143,10 +143,17 @@ def shard_tree(tree, mesh: Mesh):
     """Pad every leaf to a shard-divisible shape and place it on the mesh.
     Every >=2-D leaf ends up genuinely block-sharded — nothing is replicated
     at the jit boundary."""
+    multiprocess = jax.process_count() > 1
+
     def place(leaf):
         if leaf is None:
             return None
         leaf = pad_to_mesh(leaf, mesh)
+        if multiprocess and isinstance(leaf, jax.Array) and leaf.is_fully_addressable:
+            # device_put onto a mesh spanning non-addressable devices needs
+            # host (numpy) input — each process uploads only its shards of
+            # the (identical-everywhere) global value
+            leaf = np.asarray(leaf)
         return jax.device_put(leaf, NamedSharding(mesh, leaf_spec(leaf, mesh)))
 
     return jax.tree_util.tree_map(place, tree)
@@ -173,6 +180,16 @@ def shard_state_and_grid(state, grid_arrays: Dict, mesh: Mesh):
     never cross the jit boundary per call, and GSPMD shards them internally."""
     state = shard_tree(state, mesh)
     dpy, dpx = mesh.devices.shape
+    if jax.process_count() > 1:
+        # the step closes over the grid arrays as compile-time constants; a
+        # jit may not close over arrays spanning non-addressable devices, so
+        # keep them on the host — GSPMD shards closed-over constants
+        # internally, exactly as it already does for the node-staggered masks
+        out = {
+            k: np.asarray(v) if isinstance(v, jax.Array) else v
+            for k, v in grid_arrays.items()
+        }
+        return state, out
     out = {}
     for k, v in grid_arrays.items():
         if (

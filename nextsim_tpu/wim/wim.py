@@ -615,18 +615,36 @@ class Wim:
     ``nextwim.couplingfreq`` steps and receives wave stress + breakage.
     """
 
-    def __init__(self, params: WimParams, grid, dtype=jnp.float32):
+    def __init__(self, params: WimParams, grid, dtype=jnp.float32, mesh=None):
         self.p = params
         self.grid = grid
         self.dtype = dtype
         self.sg = spectral_grids(params)
         ny, nx = grid.shape
         self.shape = (ny, nx)
-        self.land = jnp.asarray(1.0 - np.asarray(grid.mask), dtype)
+        # host constant: closed over by the jit (a multi-process jit may not
+        # close over device arrays; GSPMD shards closed-over constants)
+        self.land = np.asarray(1.0 - np.asarray(grid.mask), np.dtype(dtype))
         self.dx = float(grid.dx)
+        # multi-chip: the spectrum (nfreq, ndir, ny, nx) and every ice/medium
+        # plane are block-sharded over the same ('y','x') device mesh as the
+        # sea-ice state (the reference runs the WIM inside the same MPI
+        # decomposition: wimdiscr.cpp:822-1210 timeStep, gridinfo.cpp WENO
+        # advection over the partitioned grid). The WENO rolls/pads become
+        # GSPMD halo collectives. Own-grid shapes that do not divide the
+        # mesh fall back to the unsharded path.
+        self.mesh = None
+        if mesh is not None:
+            dpy, dpx = mesh.devices.shape
+            if ny % dpy == 0 and nx % dpx == 0:
+                self.mesh = mesh
         self.sdf = jnp.zeros(
             (params.nwavefreq, params.nwavedirn, ny, nx), dtype
         )
+        if self.mesh is not None:
+            from nextsim_tpu.parallel.sharding import shard_tree
+
+            self.sdf = shard_tree(self.sdf, self.mesh)
         self.ice: Optional[Dict[str, Any]] = None
         self.diag: Dict[str, Any] = {}
         self._steady_in = None
@@ -717,6 +735,13 @@ class Wim:
                 sdf, ice, medium, self.sg, p, dt_wim, self.dx, self.land,
                 steady_in,
             )
+            if self.mesh is not None:
+                # keep the scan carry block-sharded (GSPMD would otherwise be
+                # free to replicate it between substeps)
+                from nextsim_tpu.parallel.sharding import constrain_tree
+
+                sdf = constrain_tree(sdf, self.mesh)
+                ice = constrain_tree(ice, self.mesh)
             return (sdf, ice), diag
 
         (sdf, ice), diags = jax.lax.scan(body, (sdf, ice), None, length=n_steps)
@@ -739,8 +764,16 @@ class Wim:
         if steady is None:
             # scan needs structurally static carry inputs
             steady = (jnp.zeros_like(self.sdf), jnp.zeros(self.shape, self.dtype))
+        sdf, ice = self.sdf, self.ice
+        if self.mesh is not None:
+            from nextsim_tpu.parallel.sharding import shard_tree
+
+            sdf = shard_tree(sdf, self.mesh)
+            ice = shard_tree(ice, self.mesh)
+            medium = shard_tree(medium, self.mesh)
+            steady = shard_tree(steady, self.mesh)
         self.sdf, self.ice, self.diag = self._run_jit(
-            self.sdf, self.ice, medium, steady,
+            sdf, ice, medium, steady,
             jnp.asarray(dt_wim, self.dtype), n_steps,
         )
         return self.diag

@@ -439,3 +439,110 @@ def test_batched_ensemble_vmapped_members(tmp_path):
     assert sp["sst"] > 0.0
     # ensemble mean has the member shape back
     assert ens.mean_state().conc.shape == (24, 24)
+
+
+@pytest.mark.slow
+def test_coupled_run_chunked_matches_per_step(tmp_path):
+    """Coupled runs ride tpu.steps_per_call: in-scan coupler means + puts at
+    chunk boundaries equal the per-step path (reference cadence:
+    fe.cpp:8226-8265), and k is clamped to divide the coupler window."""
+    from nextsim_tpu.model.simulator import Simulator
+
+    base = {
+        "grid.nx": 16, "grid.ny": 16, "grid.resolution": 10e3,
+        "simul.timestep": 200, "dynamics.substeps": 60,
+        "setup.ocean-type": "coupled",
+        "setup.atmosphere-type": "constant",
+        "setup.ice-type": "constant",
+        "thermo.use_thermo_forcing": False,
+        "dynamics.use_coriolis": False,
+        "coupler.timestep": 800,  # 4 steps
+        "simul.spinup_duration": 0.0,
+        "ideal_simul.constant_wind_u": 10.0,
+        "simul.duration": 8 * 200 / 86400.0,
+        "tpu.donate_state": False,
+    }
+    sims = []
+    for k in (1, 3):  # 3 does not divide the 4-step window -> clamps to 2
+        cfg = Config(dict(base, **{
+            "tpu.steps_per_call": k,
+            "output.exporter_path": str(tmp_path / f"k{k}"),
+        }))
+        sim = Simulator(cfg)
+        sim.run()
+        sims.append(sim)
+    s1, s2 = sims
+    assert s2._chunk_k == 2
+    for name in ("conc", "thick", "vt_u", "damage"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1.host_state(), name)),
+            np.asarray(getattr(s2.host_state(), name)),
+            rtol=2e-5, atol=1e-7, err_msg=name,
+        )
+    from scipy.io import netcdf_file
+
+    outs1 = sorted(os.listdir(tmp_path / "k1" / "coupler"))
+    outs2 = sorted(os.listdir(tmp_path / "k3" / "coupler"))
+    assert outs1 == outs2 and len(outs1) == 2  # puts at the same cadence
+    with netcdf_file(str(tmp_path / "k1" / "coupler" / outs1[-1]), "r") as a, \
+         netcdf_file(str(tmp_path / "k3" / "coupler" / outs2[-1]), "r") as b:
+        for v in a.variables:
+            np.testing.assert_allclose(
+                b.variables[v][:], a.variables[v][:], rtol=1e-5, atol=1e-7,
+                err_msg=v,
+            )
+
+
+@pytest.mark.slow
+def test_nested_run_chunked_matches_per_step(tmp_path):
+    """Nested runs ride tpu.steps_per_call: the sponge relaxation runs
+    inside the fused chunk program (per-step outer fields threaded through
+    the scan) and equals the per-step path (reference: per-step
+    nestingIce/nestingDynamics, fe.cpp:8172-8192)."""
+    from nextsim_tpu.model.simulator import Simulator
+
+    data_dir = tmp_path / "nest_data"
+    data_dir.mkdir()
+    mg = Grid.square(nx=24, ny=20, dx=10e3, boundary="open")
+    _make_nesting_files(str(data_dir), mg)
+
+    base = {
+        "simul.time_init": "2008-03-01 00:00:00",
+        "simul.duration": 8 * 900 / 86400.0,
+        "simul.timestep": 900,
+        "simul.spinup_duration": 0.0,
+        "grid.preset": "square",
+        "grid.nx": 24, "grid.ny": 20, "grid.resolution": 10e3,
+        "grid.boundary": "open",
+        "setup.ice-type": "constant",
+        "ideal_simul.init_concentration": 0.3,
+        "ideal_simul.init_thickness": 0.5,
+        "setup.dynamics-type": "free_drift",
+        "thermo.use_thermo_forcing": False,
+        "nesting.use_nesting": True,
+        "nesting.use_ocean_nesting": True,
+        "nesting.outer_mesh": str(data_dir / "outer"),
+        "nesting.nudge_timescale": 0.05,
+        "nesting.nudge_lengthscale": 3.0,
+        "tpu.donate_state": False,
+    }
+    sims = []
+    for k in (1, 4):
+        cfg = Config(dict(base, **{
+            "tpu.steps_per_call": k,
+            "output.exporter_path": str(tmp_path / f"k{k}"),
+        }))
+        sim = Simulator(cfg)
+        sim.run()
+        sims.append(sim)
+    s1, s2 = sims
+    assert s2._chunk_k == 4  # nesting no longer forces k=1
+    for name in ("conc", "thick", "vt_u", "sst", "sss"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1.host_state(), name)),
+            np.asarray(getattr(s2.host_state(), name)),
+            rtol=2e-5, atol=1e-7, err_msg=name,
+        )
+    # the sponge really pulled toward the outer fields in both
+    c = np.asarray(s2.host_state().conc)
+    assert c[2, 12] > 0.4

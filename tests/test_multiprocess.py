@@ -1,0 +1,159 @@
+"""Real multi-process (multi-host analog) execution tests.
+
+The reference *is* a multi-rank MPI program (>=2 ranks enforced,
+reference: model/run.sh:13-17) whose export/restart paths gather to rank 0
+(fe.cpp:2901-3557, 14111-14325). Here the analog is `jax.distributed`:
+these tests spawn TWO actual jax processes (localhost coordinator, 4
+virtual CPU devices each) through the real CLI (`python -m nextsim_tpu`)
+on the toy config with moorings + drifters + snapshot + final restart, and
+pin that
+
+* both processes complete and only process 0 writes the scalar outputs,
+* every artifact (restart npz, moorings NetCDF, drifter trajectories,
+  snapshot) is BITWISE identical to the same run on one process with the
+  same (2,4) device mesh,
+* the 2-process restart resumes in a single-process Simulator.
+"""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+OVERRIDES = [
+    "grid.nx=64",
+    "grid.ny=64",
+    "simul.duration=0.0625",  # 18 steps of 300 s
+    "tpu.mesh_shape=2x4",
+    "moorings.output_timestep=0.020833333333333332",  # every 6 steps
+    "moorings.snapshot=false",  # running means exercise the accum gather
+    "output.output_per_day=48",  # snapshot every 6 steps
+    "restart.write_final_restart=true",
+    "drifters.use_equally_spaced_drifters=true",
+    # 2-step cadence: finer than default but chunk k=1 here
+    "drifters.equally_spaced_drifters_output_time_step=0.006944444444444444",
+    "output.datetime_in_filename=false",
+]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_cli(outdir, n_procs: int, port: int | None = None, extra=()):
+    """Launch the real CLI n_procs times (jax.distributed when > 1)."""
+    procs = []
+    for pid in range(n_procs):
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        dev = 4 if n_procs > 1 else 8
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={dev}"
+        if n_procs > 1:
+            env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+            env["JAX_NUM_PROCESSES"] = str(n_procs)
+            env["JAX_PROCESS_ID"] = str(pid)
+        cmd = [
+            sys.executable, "-m", "nextsim_tpu",
+            "--config-files", str(REPO / "configs" / "toy.cfg"),
+            f"output.exporter_path={outdir}",
+            *OVERRIDES, *extra,
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{out[-4000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_run_matches_single_process(tmp_path):
+    d2 = tmp_path / "p2"
+    d1 = tmp_path / "p1"
+    _run_cli(d2, 2, _free_port())
+    _run_cli(d1, 1)
+
+    # every scalar artifact exists exactly once (process 0 wrote it)
+    for sub in ("restart/restart_final.npz", "Moorings_20151016.nc",
+                "field_final.npz", "Drifters_equally_spaced.nc", "nextsim_tpu.log"):
+        assert (d2 / sub).exists(), sub
+
+    # restart: bitwise across process counts
+    with np.load(d2 / "restart" / "restart_final.npz") as a, \
+         np.load(d1 / "restart" / "restart_final.npz") as b:
+        assert sorted(a.files) == sorted(b.files)
+        for k in a.files:
+            if k == "__meta__":
+                assert str(a[k]) == str(b[k])
+            else:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # snapshot: bitwise
+    with np.load(d2 / "field_final.npz") as a, np.load(d1 / "field_final.npz") as b:
+        assert sorted(a.files) == sorted(b.files)
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # moorings records: bitwise per variable
+    from scipy.io import netcdf_file
+
+    with netcdf_file(str(d2 / "Moorings_20151016.nc"), "r") as a, \
+         netcdf_file(str(d1 / "Moorings_20151016.nc"), "r") as b:
+        assert set(a.variables) == set(b.variables)
+        for k in a.variables:
+            np.testing.assert_array_equal(
+                a.variables[k][:], b.variables[k][:], err_msg=k
+            )
+
+    # drifter trajectories: bitwise
+    with netcdf_file(str(d2 / "Drifters_equally_spaced.nc"), "r") as a, \
+         netcdf_file(str(d1 / "Drifters_equally_spaced.nc"), "r") as b:
+        for k in a.variables:
+            np.testing.assert_array_equal(
+                a.variables[k][:], b.variables[k][:], err_msg=k
+            )
+
+
+@pytest.mark.slow
+def test_two_process_restart_resumes_single_process(tmp_path):
+    d2 = tmp_path / "p2"
+    _run_cli(d2, 2, _free_port())
+
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    cfg = Config.from_files(
+        str(REPO / "configs" / "toy.cfg"),
+        overrides=dict(
+            o.split("=", 1) for o in OVERRIDES + [
+                f"output.exporter_path={d2}",
+                "restart.start_from_restart=true",
+                "restart.basename=final",
+                "restart.type=extend",
+                "drifters.use_equally_spaced_drifters=false",
+            ]
+        ),
+    )
+    sim = Simulator(cfg)
+    with np.load(d2 / "restart" / "restart_final.npz") as a:
+        np.testing.assert_array_equal(
+            np.asarray(sim.host_state().conc), a["conc"]
+        )
+    sim.step()  # resumed state steps fine on one process
+    assert np.isfinite(np.asarray(sim.host_state().vt_u)).all()

@@ -395,3 +395,86 @@ def test_shard_map_substep_loop_matches_single_device(mesh8, halo_depth):
         rtol=1e-2, atol=1.0, err_msg="sigma",
     )
     assert not bool(np.asarray(v2).any())
+
+
+def test_wim_sharded_matches_single_device(mesh8):
+    """The WIM spectrum (nfreq, ndir, y, x) block-sharded over the device
+    mesh integrates to the same fields as the unsharded run (reference: the
+    WIM runs inside the same MPI decomposition as the sea ice,
+    modules/wim/src/wimdiscr.cpp:822-1210; WENO advection over the
+    partitioned grid, gridinfo.cpp:592-824)."""
+    from nextsim_tpu.wim.wim import Wim, WimParams
+
+    class StripGrid:
+        shape = (16, 64)
+        dx = 4e3
+        mask = np.ones((16, 64))
+
+    p = WimParams(nwavefreq=5, nwavedirn=8, steady=True)
+    runs = []
+    for mesh in (None, mesh8):
+        w = Wim(p, StripGrid(), mesh=mesh)
+        w.ideal_ice_fields(0.7)
+        w.ideal_wave_fields(0.8)
+        diag = w.run(3600.0)
+        runs.append((w, diag))
+    (w1, d1), (w2, d2) = runs
+    assert w2.mesh is not None  # the sharded leg really ran sharded
+    np.testing.assert_allclose(
+        np.asarray(w2.sdf), np.asarray(w1.sdf), rtol=1e-5, atol=1e-7
+    )
+    for k in ("hs", "tau_x", "tau_y"):
+        np.testing.assert_allclose(
+            np.asarray(d2[k]), np.asarray(d1[k]), rtol=1e-5, atol=1e-8,
+            err_msg=k,
+        )
+    for k in ("dfloe", "broken", "nfloes"):
+        np.testing.assert_allclose(
+            np.asarray(w2.ice[k]), np.asarray(w1.ice[k]), rtol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_wim_coupled_sharded_run(mesh8, tmp_path):
+    """A WIM-coupled model run under the device mesh matches the unsharded
+    run: wave stress, breakage-raised damage, and the sea-ice state."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    over = {
+        "grid.preset": "square",
+        "grid.nx": 40, "grid.ny": 16, "grid.resolution": 4e3,
+        "setup.ice-type": "constant_partial",
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "setup.dynamics-type": "bbm",
+        "thermo.use_thermo_forcing": False,
+        "dynamics.substeps": 30,
+        "nextwim.use_wim": True,
+        "nextwim.couplingfreq": 2,
+        "wimsetup.nwavefreq": 5,
+        "wimsetup.nwavedirn": 8,
+        "wim.steady": False,
+        "ideal_simul.constant_wind_u": 5.0,
+        "simul.spinup_duration": 0.0,
+        "tpu.donate_state": False,
+    }
+    sims = []
+    for mesh in (None, mesh8):
+        cfg = Config(overrides=dict(over, **{
+            "output.exporter_path": str(tmp_path / ("m" if mesh else "s")),
+        }))
+        sim = Simulator(cfg, mesh=mesh)
+        for _ in range(3):
+            sim.step()
+        sims.append(sim)
+    s1, s2 = sims
+    assert s2.wim.mesh is not None
+    for name in ("conc", "thick", "damage", "vt_u", "vt_v"):
+        a = np.asarray(getattr(s1.host_state(), name))
+        b = np.asarray(getattr(s2.host_state(), name))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(s2.wim.ice["dfloe"]), np.asarray(s1.wim.ice["dfloe"]),
+        rtol=1e-5,
+    )
