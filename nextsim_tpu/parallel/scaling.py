@@ -53,7 +53,7 @@ def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 12
             # single device: shard_map needs a mesh axis to permute over;
             # run the plain schedule for the baseline point
             "tpu.partition_mode": partition_mode if nd > 1 else "gspmd",
-            "tpu.halo_depth": halo_depth,
+            "tpu.halo_depth": halo_depth if nd > 1 else 1,
         })
         sim = Simulator(cfg, mesh=mesh)
         forcing = shard_tree(sim.forcing_provider(sim.current_time, sim.time_init), mesh)
@@ -82,11 +82,50 @@ def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 12
     return results
 
 
+def write_artifact(path: str, cells_per_device_side: int = 64, steps: int = 3,
+                   substeps: int = 120) -> dict:
+    """Race every schedule across mesh sizes on whatever devices exist and
+    write a binding JSON artifact (SCALING_r{N}.json): per-mesh-size rates
+    for gspmd and the hand-scheduled shard_map at halo depths 1 and 4
+    (VERDICT r3 item 7; north star: >80% weak scaling, SURVEY §6). On a
+    CPU host mesh the numbers race the *schedules*, not ICI — the same
+    entry point produces pod numbers when a pod slice exists."""
+    legs = [("gspmd", 1)]
+    if len(jax.devices()) > 1:
+        legs += [("shard_map", 1), ("shard_map", 4)]
+    runs = []
+    for mode, depth in legs:
+        runs += measure(cells_per_device_side, steps, substeps, mode, depth)
+    artifact = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "n_devices": len(jax.devices()),
+        "cells_per_device_side": cells_per_device_side,
+        "steps": steps,
+        "substeps": substeps,
+        "note": (
+            "weak scaling: grid grows with the mesh "
+            "(cells_per_device_side^2 cells per device); efficiency is "
+            "per-device rate vs the 1-device point of the same schedule"
+        ),
+        "runs": runs,
+    }
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+        f.write("\n")
+    return artifact
+
+
 if __name__ == "__main__":
     import sys
 
-    # usage: python -m nextsim_tpu.parallel.scaling [side] [gspmd|shard_map] [H]
-    side = int(sys.argv[1]) if len(sys.argv) > 1 else 304
-    mode = sys.argv[2] if len(sys.argv) > 2 else "gspmd"
-    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    measure(side, partition_mode=mode, halo_depth=depth)
+    if len(sys.argv) > 2 and sys.argv[1] == "--artifact":
+        # usage: python -m nextsim_tpu.parallel.scaling --artifact OUT.json [side]
+        side = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+        write_artifact(sys.argv[2], side)
+    else:
+        # usage: python -m nextsim_tpu.parallel.scaling [side] [gspmd|shard_map] [H]
+        side = int(sys.argv[1]) if len(sys.argv) > 1 else 304
+        mode = sys.argv[2] if len(sys.argv) > 2 else "gspmd"
+        depth = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        measure(side, partition_mode=mode, halo_depth=depth)

@@ -279,11 +279,99 @@ def _metrics(ref: np.ndarray, ours: np.ndarray, where: np.ndarray, tol: float):
     }
 
 
-def compare_snapshot(snap: RefSnapshot, sim, tolerances: Optional[Dict[str, float]] = None):
+def statistical_metrics(sim, ref_fields: Dict[str, np.ndarray],
+                        cell_ok: np.ndarray, node_ok: np.ndarray):
+    """The long-horizon comparison channel: deformation-PDF percentiles /
+    tail exponent (Rampal 2016 / Olason 2024 statistics, SURVEY §6) and
+    integral ice extent/area/volume — Lagrangian-vs-Eulerian trajectories
+    cannot match pointwise at long horizons (SURVEY §7 hard part ii), but
+    these distributions and integrals must.
+
+    Returns {"deformation": {...}, "integrals": {...}} with per-quantity
+    ref/ours values and ratios/relative differences.
+    """
+    from nextsim_tpu.validation.deformation import deformation_rates, stats
+
+    grid = sim.grid
+    state = sim.host_state()
+    dx = grid.dx
+    out: Dict[str, Dict] = {}
+
+    conc_ref = ref_fields.get("Concentration")
+    if "M_VT_x" in ref_fields:
+        _, _, tot_ref = deformation_rates(
+            np.where(node_ok, ref_fields["M_VT_x"], 0.0),
+            np.where(node_ok, ref_fields["M_VT_y"], 0.0), dx,
+        )
+        _, _, tot_ours = deformation_rates(
+            np.where(node_ok, np.asarray(state.vt_u, np.float64), 0.0),
+            np.where(node_ok, np.asarray(state.vt_v, np.float64), 0.0), dx,
+        )
+        # each side masked by its OWN ice cover: the PDFs are per-field
+        # distributions, not pointwise pairs
+        mask_ref = cell_ok & (conc_ref > 0.15) if conc_ref is not None else cell_ok
+        mask_ours = cell_ok & (np.asarray(state.conc) > 0.15)
+        s_ref = stats(tot_ref, mask_ref.astype(float))
+        s_ours = stats(tot_ours, mask_ours.astype(float))
+        deform = {"ref": s_ref, "ours": s_ours}
+        for q in ("p50_per_day", "p90_per_day", "p99_per_day", "mean_per_day"):
+            if s_ref.get(q, 0.0) > 0.0 and q in s_ours:
+                deform[f"ratio_{q[:3]}"] = s_ours[q] / s_ref[q]
+        if "tail_exponent" in s_ref and "tail_exponent" in s_ours:
+            deform["tail_exponent_diff"] = (
+                s_ours["tail_exponent"] - s_ref["tail_exponent"]
+            )
+        out["deformation"] = deform
+
+    if conc_ref is not None:
+        area = dx * dx * 1e-6  # km^2 per cell
+        conc_ours = np.asarray(state.conc, np.float64)
+        ints = {
+            "ice_extent_km2": {
+                "ref": float(((conc_ref > 0.15) & cell_ok).sum() * area),
+                "ours": float(((conc_ours > 0.15) & cell_ok).sum() * area),
+            },
+            "ice_area_km2": {
+                "ref": float(conc_ref[cell_ok].sum() * area),
+                "ours": float(conc_ours[cell_ok].sum() * area),
+            },
+        }
+        if "Thickness" in ref_fields:
+            ints["ice_volume_km3"] = {
+                "ref": float(ref_fields["Thickness"][cell_ok].sum() * area * 1e-3),
+                "ours": float(
+                    np.asarray(state.thick, np.float64)[cell_ok].sum() * area * 1e-3
+                ),
+            }
+        for v in ints.values():
+            v["rel_diff"] = (v["ours"] - v["ref"]) / max(abs(v["ref"]), 1e-12)
+        out["integrals"] = ints
+    return out
+
+
+# tolerance tiers per forecast horizon (SURVEY §7 hard part ii): pointwise
+# fields are binding at short range; beyond, the statistical channel decides
+# (ratios of deformation percentiles, relative integral differences)
+STATISTICAL_TOLERANCES = {
+    "ratio_p90": (0.5, 2.0),  # deformation p90 within a factor 2
+    "ratio_p99": (0.5, 2.0),
+    "ice_extent_rel_diff": 0.10,
+    "ice_area_rel_diff": 0.10,
+    "ice_volume_rel_diff": 0.15,
+}
+POINTWISE_HORIZON_DAYS = 2.0
+
+
+def compare_snapshot(snap: RefSnapshot, sim, tolerances: Optional[Dict[str, float]] = None,
+                     horizon_days: Optional[float] = None):
     """Diff a reference snapshot against a Simulator's current state.
 
     Compares every ELEMENT_VARS field present in the snapshot plus ice speed
-    (|M_VT| vs |vt|, on nodes). Cells where either side is meshless/land are
+    (|M_VT| vs |vt|, on nodes), and attaches the statistical channel
+    (deformation PDFs + integral metrics) under ``"_statistics"``. When
+    ``horizon_days`` is given, ``"_tier"`` records which channel is binding
+    at that forecast range (pointwise up to POINTWISE_HORIZON_DAYS,
+    statistical beyond). Cells where either side is meshless/land are
     excluded. Returns {field: metrics dict}.
     """
     tolerances = dict(tolerances or {})
@@ -308,6 +396,12 @@ def compare_snapshot(snap: RefSnapshot, sim, tolerances: Optional[Dict[str, floa
         ref_speed = np.hypot(ref_fields["M_VT_x"], ref_fields["M_VT_y"])
         our_speed = np.hypot(np.asarray(state.vt_u, np.float64), np.asarray(state.vt_v, np.float64))
         report["speed"] = _metrics(ref_speed, our_speed, node_ok, tolerances.get("speed", defaults["speed"]))
+    report["_statistics"] = statistical_metrics(sim, ref_fields, cell_ok, node_ok)
+    if horizon_days is not None:
+        report["_tier"] = (
+            "pointwise" if horizon_days <= POINTWISE_HORIZON_DAYS else "statistical"
+        )
+        report["_horizon_days"] = float(horizon_days)
     return report
 
 
@@ -333,18 +427,32 @@ def run_comparison(ref_dir: str, config_files: List[str], overrides=None, dx=Non
     cfg = Config.from_files(*config_files, overrides=ov)
     sim = Simulator(cfg, grid=grid)
 
+    t_start = sim.current_time
     results = []
     for snap in snaps:
         n_steps = int(round((snap.time - sim.current_time) * 86400.0 / cfg["simul.timestep"]))
         for _ in range(max(n_steps, 0)):
             sim.step()
-        report = compare_snapshot(snap, sim)
+        report = compare_snapshot(snap, sim, horizon_days=snap.time - t_start)
         results.append((snap.name, snap.time, report))
         if verbose:
-            print(f"== field_{snap.name} (t={snap.time:.4f}, {max(n_steps,0)} steps advanced)")
+            tier = report.get("_tier", "pointwise")
+            print(f"== field_{snap.name} (t={snap.time:.4f}, {max(n_steps,0)} "
+                  f"steps advanced, binding tier: {tier})")
             for var, m in report.items():
+                if var.startswith("_"):
+                    continue
                 print(f"  {var:28s} bias={m['bias']:+.4f} rmse={m['rmse']:.4f} "
                       f"max={m['max_abs']:.4f} within_tol({m['tol']:g})={m['frac_within_tol']:.1%}")
+            st = report.get("_statistics", {})
+            if "deformation" in st:
+                d = st["deformation"]
+                ratios = {k: round(v, 3) for k, v in d.items() if k.startswith("ratio_")}
+                print(f"  deformation PDF ratios (ours/ref): {ratios} "
+                      f"tail_dexp={d.get('tail_exponent_diff', float('nan')):+.2f}")
+            for nm, v in st.get("integrals", {}).items():
+                print(f"  {nm:28s} ref={v['ref']:.4g} ours={v['ours']:.4g} "
+                      f"rel_diff={v['rel_diff']:+.2%}")
     return results
 
 

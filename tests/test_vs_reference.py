@@ -192,3 +192,60 @@ def test_toy_config_vs_reference():
         # damage localises differently on different discretisations; compare
         # its bulk level, not per-cell placement
         assert abs(report["Damage"]["bias"]) < 0.25
+
+
+def test_statistical_channel_synthetic_truth(tmp_path):
+    """The long-horizon statistical channel (deformation-PDF percentiles,
+    integral extent/area/volume — SURVEY §6 Rampal/Olason statistics):
+    ~exact on a snapshot fabricated from the model's own state, and it
+    detects a deliberate velocity-field distortion that pointwise metrics at
+    long horizons could excuse."""
+    cfg = Config(overrides={
+        "grid.nx": 24, "grid.ny": 24, "grid.resolution": 10e3,
+        "simul.timestep": 200, "dynamics.substeps": 60,
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant_partial",
+        "setup.atmosphere-type": "constant", "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 15.0,
+        "simul.spinup_duration": 0.0, "tpu.donate_state": False,
+    })
+    sim = Simulator(cfg)
+    for _ in range(3):
+        sim.step()
+    state = sim.host_state()
+    grid = sim.grid
+    npx, npy = grid.node_xy()
+    tris = _lattice_triangulation(grid)
+
+    def p0(field):
+        return np.repeat(np.asarray(field, np.float64).ravel(), 2)
+
+    _write_synthetic_pair(
+        tmp_path, "0", npx.ravel(), npy.ravel(), tris,
+        {"Concentration": p0(state.conc), "Thickness": p0(state.thick)},
+        {"M_VT": (np.asarray(state.vt_u, np.float64).ravel(),
+                  np.asarray(state.vt_v, np.float64).ravel())},
+        time=sim.current_time,
+    )
+    snap = load_snapshot(str(tmp_path), "0")
+
+    report = compare_snapshot(snap, sim, horizon_days=0.1)
+    st = report["_statistics"]
+    assert report["_tier"] == "pointwise"
+    for q in ("ratio_p50", "ratio_p90", "ratio_p99"):
+        assert abs(st["deformation"][q] - 1.0) < 0.02, (q, st["deformation"])
+    for nm, v in st["integrals"].items():
+        assert abs(v["rel_diff"]) < 1e-6, (nm, v)
+
+    # distort the velocity field: ratios move by the distortion factor
+    import jax.numpy as jnp
+
+    sim.state = sim.state.replace(
+        vt_u=sim.state.vt_u * 1.6, vt_v=sim.state.vt_v * 1.6
+    )
+    report2 = compare_snapshot(snap, sim, horizon_days=5.0)
+    assert report2["_tier"] == "statistical"
+    st2 = report2["_statistics"]["deformation"]
+    assert 1.5 < st2["ratio_p90"] < 1.7, st2
+    # integrals untouched by a velocity change
+    assert abs(report2["_statistics"]["integrals"]["ice_area_km2"]["rel_diff"]) < 1e-6
