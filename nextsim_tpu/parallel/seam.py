@@ -43,6 +43,19 @@ the outermost global cells are land), so no special-casing at mesh edges.
 
 Equivalence with the GSPMD path and the single-device step is pinned by
 tests/test_parallel.py for H=1 and H>1.
+
+COST NOTE (layout conversion): substep_loop converts global -> ext layouts
+on entry and back on exit EVERY dynamics step — two all-to-all-ish
+reshuffles of the 8 carry planes plus one of each 2-D const plane per step
+(the consts' gathers are loop-invariant inside one jit call but re-run per
+step because the Simulator keeps the state in the global layout between
+steps). At 120 substeps/step the amortised cost is 2/120 reshuffles per
+exchange saved, which the CPU-mesh race absorbs easily — but on a real ICI
+pod it could eat part of the schedule's advantage. If pod profiling shows
+it on the critical path, the fix is to carry the ext layout across steps
+in the Simulator (convert once at init, reconvert only for IO/outputs,
+which are boundary events anyway). Blocked on pod access; re-measure with
+tools/partition_mode_bench.py before changing the default.
 """
 
 from __future__ import annotations
