@@ -157,3 +157,34 @@ def test_two_process_restart_resumes_single_process(tmp_path):
         )
     sim.step()  # resumed state steps fine on one process
     assert np.isfinite(np.asarray(sim.host_state().vt_u)).all()
+
+
+@pytest.mark.slow
+def test_two_process_parallel_moorings_patches_merge(tmp_path):
+    """moorings.parallel_output under REAL multi-process execution: each
+    process writes its y-slab patch (reference: gridoutput.cpp parallel
+    netCDF path), and the merged file equals the single-process moorings
+    file bitwise."""
+    from scipy.io import netcdf_file
+
+    d2 = tmp_path / "p2"
+    d1 = tmp_path / "p1"
+    extra = ("moorings.parallel_output=true",)
+    _run_cli(d2, 2, _free_port(), extra=extra)
+    _run_cli(d1, 1)  # parallel_output is a no-op on one process
+
+    patches = sorted(str(p) for p in d2.glob("Moorings_20151016_p*.nc"))
+    assert len(patches) == 2, list(d2.iterdir())
+    assert not (d2 / "Moorings_20151016.nc").exists()
+
+    from nextsim_tpu.output.moorings import merge_parallel_moorings
+
+    merged = str(tmp_path / "merged.nc")
+    merge_parallel_moorings(patches, merged)
+
+    with netcdf_file(merged, "r") as a, \
+         netcdf_file(str(d1 / "Moorings_20151016.nc"), "r") as b:
+        for k in b.variables:
+            np.testing.assert_array_equal(
+                a.variables[k][:], b.variables[k][:], err_msg=k
+            )
