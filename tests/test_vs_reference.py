@@ -192,6 +192,25 @@ def test_toy_config_vs_reference():
         # damage localises differently on different discretisations; compare
         # its bulk level, not per-cell placement
         assert abs(report["Damage"]["bias"]) < 0.25
+    # beyond the pointwise horizon the statistical channel is binding
+    # (SURVEY §7 hard part ii): deformation-PDF percentiles within a factor
+    # 2, integral extent/area within 10% (STATISTICAL_TOLERANCES)
+    from nextsim_tpu.validation.ref_compare import STATISTICAL_TOLERANCES
+
+    for _, t, report in results:
+        st = report.get("_statistics", {})
+        d = st.get("deformation", {})
+        for q in ("ratio_p90", "ratio_p99"):
+            if q in d:
+                lo, hi = STATISTICAL_TOLERANCES[q]
+                assert lo < d[q] < hi, (t, q, d[q])
+        ints = st.get("integrals", {})
+        for nm, key in (("ice_extent_km2", "ice_extent_rel_diff"),
+                        ("ice_area_km2", "ice_area_rel_diff")):
+            if nm in ints:
+                assert abs(ints[nm]["rel_diff"]) < STATISTICAL_TOLERANCES[key], (
+                    t, nm, ints[nm]
+                )
 
 
 def test_statistical_channel_synthetic_truth(tmp_path):
