@@ -188,3 +188,25 @@ def test_two_process_parallel_moorings_patches_merge(tmp_path):
             np.testing.assert_array_equal(
                 a.variables[k][:], b.variables[k][:], err_msg=k
             )
+
+
+@pytest.mark.slow
+def test_two_process_shard_map_schedule(tmp_path):
+    """The hand-scheduled seam/ppermute substep loop
+    (tpu.partition_mode=shard_map, communication-avoiding halo_depth=2)
+    under REAL multi-process execution: explicit ring exchanges cross the
+    process boundary (the literal updateGhosts analog, fe.cpp:13963-14105)
+    and the run is bitwise identical to one process running the same
+    schedule."""
+    d2 = tmp_path / "p2"
+    d1 = tmp_path / "p1"
+    extra = ("tpu.partition_mode=shard_map", "tpu.halo_depth=2",
+             "drifters.use_equally_spaced_drifters=false")
+    _run_cli(d2, 2, _free_port(), extra=extra)
+    _run_cli(d1, 1, extra=extra)
+
+    with np.load(d2 / "restart" / "restart_final.npz") as a, \
+         np.load(d1 / "restart" / "restart_final.npz") as b:
+        for k in a.files:
+            if k != "__meta__":
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
