@@ -70,14 +70,14 @@ class DrifterSet:
             return False
         if getattr(self, "_needs_seed", False) and t >= self.active_from - 1e-9:
             x, y, ids = self.reseed_fn(conc)
-            self.x, self.y, self.ids = x, y, ids
+            self.x, self.y, self.ids = x, y, self._fresh_ids(ids)
             self.alive = np.ones_like(self.x, dtype=bool)
             self._needs_seed = False
             return True
         if t < self.active_from + self.lifetime_days - 1e-9:
             return False
         x, y, ids = self.reseed_fn(conc)
-        self.x, self.y, self.ids = x, y, ids
+        self.x, self.y, self.ids = x, y, self._fresh_ids(ids)
         self.alive = np.ones_like(self.x, dtype=bool)
         # advance to the window containing t, staying on the schedule
         # (reference restarts the 48 h window at expiry, not at check time)
@@ -85,6 +85,20 @@ class DrifterSet:
             (t - self.active_from) / self.lifetime_days + 1e-9
         )
         return True
+
+    def _fresh_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Globally-unique ids for a re-seeded window. The seeding helper
+        numbers buoys 0..n-1 from whatever cells pass the conc limit, so a
+        new window's id k is a DIFFERENT physical buoy than the last
+        window's id k; trajectory outputs must never join them into one
+        column (found by the round-4 operational demo: write_netcdf KeyError
+        on a reseeded OSISAF id)."""
+        base = getattr(self, "_next_id", None)
+        if base is None:
+            base = int(self.ids.max()) + 1 if self.ids.size else 0
+        out = base + np.arange(len(ids), dtype=np.int64)
+        self._next_id = base + len(ids)
+        return out
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -178,11 +192,20 @@ class DrifterSet:
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         nrec = len(self.records)
-        nbuoy = len(self.ids)
+        # columns = the union of every id ever recorded (finite-lifetime
+        # sets re-seed with fresh ids, so the live set is only the last
+        # window's buoys); current ids included so a no-record set still
+        # writes its seeding
+        all_ids = sorted(
+            {int(i) for rec in self.records for i in rec["ids"]}
+            | {int(i) for i in self.ids}
+        )
+        buoy_ids = np.asarray(all_ids, np.int64)
+        nbuoy = len(buoy_ids)
         lat = np.full((nrec, nbuoy), np.nan, np.float32)
         lon = np.full((nrec, nbuoy), np.nan, np.float32)
         times = np.zeros(nrec)
-        id_index = {int(i): k for k, i in enumerate(self.ids)}
+        id_index = {int(i): k for k, i in enumerate(buoy_ids)}
         for r, rec in enumerate(self.records):
             times[r] = rec["time"]
             for i, la, lo in zip(rec["ids"], rec["lat"], rec["lon"]):
@@ -196,7 +219,7 @@ class DrifterSet:
             tv.units = b"days since 1900-01-01 00:00:00"
             tv[:] = times
             iv = nc.createVariable("BuoyID", "i4", ("buoy",))
-            iv[:] = self.ids.astype(np.int32)
+            iv[:] = buoy_ids.astype(np.int32)
             for nm, arr, unit in (("latitude", lat, b"degrees_north"),
                                   ("longitude", lon, b"degrees_east")):
                 v = nc.createVariable(nm, "f4", ("time", "buoy"))

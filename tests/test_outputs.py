@@ -672,3 +672,36 @@ def test_async_io_error_surfaces(tmp_path, monkeypatch):
     w.submit(sentinel.append, 1)
     w.flush()
     assert sentinel == [1]
+
+
+def test_osisaf_reseeded_trajectories_write(tmp_path):
+    """Regression for the round-4 operational demo crash: re-seeded OSISAF
+    windows produce FRESH buoy ids (a new window's id k is a different
+    physical buoy), records spanning several windows keep distinct columns,
+    and write_netcdf handles the union of ids without KeyError."""
+    from scipy.io import netcdf_file
+
+    from nextsim_tpu.output.drifters import osisaf_drifters
+
+    g = Grid.square(nx=32, ny=32, dx=25e3)
+    conc = np.ones(g.shape, np.float32)
+    d = osisaf_drifters(g, conc, 0.15, 0.0, output_dt_days=1.0)[0]
+    assert d.maybe_reseed(0.6, conc)  # activation seeding
+    ids_w1 = d.ids.copy()
+    d.maybe_output(1.6)  # record within window 1
+    conc2 = conc.copy(); conc2[:, :16] = 0.0
+    assert d.maybe_reseed(2.6, conc2)  # expiry re-seed, half domain gone
+    ids_w2 = d.ids.copy()
+    assert len(set(ids_w1) & set(ids_w2)) == 0  # no id reuse across windows
+    d.maybe_output(2.7)
+
+    path = str(tmp_path / "Drifters_osisaf0.nc")
+    d.write_netcdf(path)  # KeyError before the fix
+    with netcdf_file(path, "r") as nc:
+        buoys = nc.variables["BuoyID"][:]
+        lat = nc.variables["latitude"][:]
+        assert len(buoys) == len(ids_w1) + len(ids_w2)
+        assert lat.shape == (2, len(buoys))
+        # each record fills exactly its own window's columns
+        assert int(np.isfinite(lat[0]).sum()) == len(ids_w1)
+        assert int(np.isfinite(lat[1]).sum()) == len(ids_w2)
