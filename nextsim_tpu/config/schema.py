@@ -407,10 +407,15 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     # the accelerator is behind a high-latency link)
     "tpu.check_interval": (int, 1),
     # fuse N model steps into one device program (lax.scan): removes
-    # per-step dispatch latency (~17% at 608^2 on v5e). Forcing and the
-    # thermo date flags are sampled once per chunk, so keep N small relative
-    # to the forcing cadence; incompatible with the coupler (falls back to 1)
+    # per-step dispatch latency (~17% at 608^2 on v5e). Forcing, the thermo
+    # date flags, nesting outer fields and coupler means are threaded
+    # per-step through the scan, so chunked runs are exact; N is clamped to
+    # divide the coupler window and the finest drifter cadence
     "tpu.steps_per_call": (int, 1),
+    # persistent XLA compilation cache directory ("" = off): a relaunch of
+    # the same program skips the multi-minute compile (measured 13 min for
+    # the 608^2 chunked program through the remote-TPU tunnel)
+    "tpu.compilation_cache_dir": (str, ""),
     # multi-chip schedule for the momentum substep loop: gspmd (XLA inserts
     # the halo collectives) or shard_map (hand-scheduled seam blocks with one
     # explicit ppermute ring exchange per substep, parallel/seam.py — the

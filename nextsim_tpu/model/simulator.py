@@ -37,6 +37,15 @@ class Simulator:
         self.cfg = cfg
         self.log = get_logger(cfg["debugging.log-level"], cfg["debugging.log-all"])
         self.timer = Timer()
+        if cfg["tpu.compilation_cache_dir"]:
+            # persistent XLA compilation cache: relaunching the same program
+            # skips the multi-minute compile (13 min measured for the 608^2
+            # chunked program through the remote-TPU tunnel)
+            jax.config.update(
+                "jax_compilation_cache_dir", cfg["tpu.compilation_cache_dir"]
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         self.grid = grid if grid is not None else Grid.from_config(cfg)
 
         # tpu.mesh_shape = "DPYxDPX" builds the device mesh from config so a

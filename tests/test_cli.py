@@ -26,3 +26,28 @@ def test_config_errors_are_one_liners(argv, needle, capsys):
     err = capsys.readouterr().err
     assert "config error" in err and needle in err
     assert "Traceback" not in err
+
+
+def test_compilation_cache_option(tmp_path):
+    """tpu.compilation_cache_dir populates a persistent XLA cache so a
+    relaunch of the same program skips compilation (operationally decisive
+    behind a slow-compile link: 13 min measured for the 608^2 program)."""
+    import os
+    import subprocess
+    import sys
+
+    cache = tmp_path / "xla_cache"
+    args = [
+        sys.executable, "-m", "nextsim_tpu",
+        "--config-files", "configs/toy.cfg",
+        "grid.nx=32", "grid.ny=32", "simul.duration=0.003472222",
+        f"output.exporter_path={tmp_path / 'out'}",
+        f"tpu.compilation_cache_dir={cache}",
+        "moorings.use_moorings=false", "output.output_per_day=0",
+    ]
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(args, env=env, capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0, r.stderr[-2000:]
+    entries = list(cache.glob("*"))
+    assert entries, "no compilation cache entries written"
