@@ -1018,8 +1018,11 @@ class Simulator:
         t = self.current_time
         if self.moorings is not None:
             if not skip_moorings_means:
+                # accumulate on DEVICE (sharded-safe eager ops); the one
+                # host gather happens at write time (_write_record) — a
+                # host_state() here would transfer the full state per step
                 self.moorings.update_means(
-                    self.host_state(), self._crop(self.diag),
+                    self._crop(self.state), self._crop(self.diag),
                     self._crop(getattr(self, "last_forcing", None)),
                 )
             self.moorings.maybe_output(self)
