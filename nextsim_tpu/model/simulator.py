@@ -1033,16 +1033,21 @@ class Simulator:
             cadence = min(d.output_dt_days for d in self.drifters)
             cadence = max(cadence, self.dt * dates.DAYS_IN_SEC)
             if t - self._drifter_last_move >= cadence - 1e-9:
-                hstate = self.host_state()
-                ut_u = np.asarray(hstate.ut_u)
-                ut_v = np.asarray(hstate.ut_v)
+                # gather ONLY the three planes drifters need (displacement +
+                # conc), not the whole state — at 608^2 through a remote
+                # link the full gather cost ~4 s per move (round-4 demo)
+                from nextsim_tpu.parallel.multihost import gather_to_host
+
+                cs = self._crop(self.state)
+                ut_u, ut_v, conc = gather_to_host(
+                    (cs.ut_u, cs.ut_v, cs.conc)
+                )
                 if self._drifter_ut_prev is None:
                     self._drifter_ut_prev = (np.zeros_like(ut_u), np.zeros_like(ut_v))
                 du = ut_u - self._drifter_ut_prev[0]
                 dv = ut_v - self._drifter_ut_prev[1]
                 self._drifter_ut_prev = (ut_u, ut_v)
                 self._drifter_last_move = t
-                conc = np.asarray(hstate.conc)
                 for d in self.drifters:
                     if t < getattr(d, "active_from", 0.0) - 1e-9:
                         continue  # fixed-init drifters (RGPS/SIDFEx) wait
