@@ -412,6 +412,11 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     # per-step through the scan, so chunked runs are exact; N is clamped to
     # divide the coupler window and the finest drifter cadence
     "tpu.steps_per_call": (int, 1),
+    # checkpoint format: npz (single compressed file, gathered + written by
+    # process 0 — the reference's rank-0 writeRestart analog) or orbax
+    # (sharded TensorStore checkpoint: every process writes its own shards
+    # in parallel, no global gather; restores under any topology)
+    "restart.format": (str, "npz"),
     # persistent XLA compilation cache directory ("" = off): a relaunch of
     # the same program skips the multi-minute compile (measured 13 min for
     # the 608^2 chunked program through the remote-TPU tunnel)
@@ -454,6 +459,7 @@ ENUMS: Dict[str, List[str]] = {
     "output.format": ["npz", "reference"],
     "moorings.file_length": ["inf", "daily", "weekly", "monthly", "yearly"],
     "tpu.dtype": ["float32", "bfloat16", "float64"],
+    "restart.format": ["npz", "orbax"],
     "tpu.partition_mode": ["gspmd", "shard_map"],
     "wim.scatmod": ["dissipated", "isotropic"],
     "wim.advopt": ["notperiodic", "y-periodic", "xy-periodic"],

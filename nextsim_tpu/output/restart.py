@@ -36,13 +36,18 @@ def write_restart(sim, name: Optional[str] = None) -> str:
             name = dates.datenum_to_string(sim.current_time)
         else:
             name = str(sim.pcpt)
+    fmt = cfg["restart.format"]
     arrays = {}
-    hstate = sim.host_state()
+    # orbax: keep the state leaves on DEVICE — orbax writes each process's
+    # shards in parallel with NO global gather (the TPU-native alternative
+    # to the reference's rank-0 writeRestart, fe.cpp:9503-9696; O(shard)
+    # host memory instead of O(global))
+    hstate = sim._crop(sim.state) if fmt == "orbax" else sim.host_state()
     for f in dataclasses.fields(hstate):
         v = getattr(hstate, f.name)
         if v is None:  # optional leaves (e.g. FSD when disabled)
             continue
-        arrays[f.name] = np.asarray(v)
+        arrays[f.name] = v if fmt == "orbax" else np.asarray(v)
     meta = {
         "pcpt": sim.pcpt,
         "time_init": sim.time_init,
@@ -66,6 +71,8 @@ def write_restart(sim, name: Optional[str] = None) -> str:
         # wave-spectrum persistence: resumes keep sub-window swell memory
         # instead of re-spinning the spectrum from incident waves
         arrays["__wim_sdf"] = gather_to_host(sim.wim.sdf)
+    if fmt == "orbax":
+        return _write_restart_orbax(sim, path, name, meta, arrays)
     fname = os.path.join(path, f"restart_{name}.npz")
     from nextsim_tpu.parallel.multihost import is_writer
 
@@ -86,50 +93,105 @@ def write_restart(sim, name: Optional[str] = None) -> str:
     return fname
 
 
+def _write_restart_orbax(sim, path: str, name: str, meta: dict, arrays: dict) -> str:
+    """Sharded checkpoint via orbax: every process writes its own shards in
+    parallel (TensorStore/OCDBT under the hood) — no rank-0 gather, no
+    O(global) host buffer. A JSON sidecar records meta + the leaf spec so a
+    restore can run under ANY topology (different process count or mesh)
+    without trusting the checkpoint's saved shardings."""
+    import orbax.checkpoint as ocp
+
+    from nextsim_tpu.parallel.multihost import is_writer
+
+    fname = os.path.abspath(os.path.join(path, f"restart_{name}.orbax"))
+    ck = ocp.StandardCheckpointer()
+    ck.save(fname, arrays, force=True)  # collective across processes
+    ck.wait_until_finished()
+    if is_writer():
+        sidecar = dict(meta)
+        sidecar["fields"] = {
+            k: [list(np.shape(v)), str(v.dtype)] for k, v in arrays.items()
+        }
+        with open(fname + ".json", "w") as f:
+            json.dump(sidecar, f, indent=1)
+    return fname
+
+
+def _read_restart_orbax(sim, path: str, basename: str):
+    """Returns (mapping, meta) shaped exactly like the npz payload: restore
+    against numpy zero-templates built from the sidecar spec, so the load is
+    topology-agnostic (a 2-process checkpoint resumes on 1 process and vice
+    versa)."""
+    import orbax.checkpoint as ocp
+
+    fname = os.path.abspath(os.path.join(path, f"restart_{basename}.orbax"))
+    with open(fname + ".json") as f:
+        sidecar = json.load(f)
+    fields = sidecar.pop("fields")
+    target = {
+        k: np.zeros(tuple(shape), np.dtype(dtype))
+        for k, (shape, dtype) in fields.items()
+    }
+    ck = ocp.StandardCheckpointer()
+    data = ck.restore(fname, target)
+    return data, sidecar
+
+
 def read_restart(sim, basename: Optional[str] = None) -> None:
     """Restore state + counters into an initialised Simulator (reference:
     readRestart, fe.cpp:9701-9948)."""
     cfg = sim.cfg
     path = cfg["restart.input_path"] or os.path.join(cfg["output.exporter_path"], "restart")
     basename = basename or cfg["restart.basename"]
-    fname = os.path.join(path, f"restart_{basename}.npz")
     # a pending asynchronous write of this very file must land first
     from nextsim_tpu.utils import async_writer
 
     async_writer.flush()
-    with np.load(fname, allow_pickle=False) as data:
-        meta = json.loads(str(data["__meta__"]))
-        g = meta["grid"]
-        if (g["nx"], g["ny"]) != (sim.grid.nx, sim.grid.ny):
-            raise ValueError(
-                f"restart grid {g['nx']}x{g['ny']} != model grid "
-                f"{sim.grid.nx}x{sim.grid.ny}"
-            )
-        kw = {}
-        for f in dataclasses.fields(sim.state):
-            if f.name in data:
-                kw[f.name] = jnp.asarray(data[f.name], sim.dtype)
-            else:
-                kw[f.name] = None
-        sim.state = State(**kw)
-        if sim.device_mesh is not None:
-            from nextsim_tpu.parallel.sharding import shard_tree
+    if cfg["restart.format"] == "orbax":
+        data, meta = _read_restart_orbax(sim, path, basename)
+        _apply_restart(sim, data, meta)
+    else:
+        fname = os.path.join(path, f"restart_{basename}.npz")
+        with np.load(fname, allow_pickle=False) as data:
+            meta = json.loads(str(data["__meta__"]))
+            _apply_restart(sim, data, meta)
 
-            sim.state = shard_tree(sim.state, sim.device_mesh)
-        drifters = getattr(sim, "drifters", None)
-        if drifters:
-            for i, d in enumerate(drifters):
-                if getattr(d, "ignore_restart", False):
-                    continue  # drifters.<flavour>_ignore_restart: re-init
-                if f"__drifter{i}_x" in data:
-                    d.x = data[f"__drifter{i}_x"]
-                    d.y = data[f"__drifter{i}_y"]
-                    d.ids = data[f"__drifter{i}_id"]
-                    d.alive = data[f"__drifter{i}_alive"]
-        if getattr(sim, "wim", None) is not None and "__wim_nfloes" in data:
-            sim._wim_nfloes = jnp.asarray(data["__wim_nfloes"], sim.dtype)
-            if "__wim_sdf" in data and data["__wim_sdf"].shape == sim.wim.sdf.shape:
-                sim.wim.sdf = jnp.asarray(data["__wim_sdf"], sim.dtype)
+
+def _apply_restart(sim, data, meta) -> None:
+    """Apply a loaded restart payload (npz mapping or orbax-restored dict)
+    to an initialised Simulator — one code path for both formats."""
+    cfg = sim.cfg
+    g = meta["grid"]
+    if (g["nx"], g["ny"]) != (sim.grid.nx, sim.grid.ny):
+        raise ValueError(
+            f"restart grid {g['nx']}x{g['ny']} != model grid "
+            f"{sim.grid.nx}x{sim.grid.ny}"
+        )
+    kw = {}
+    for f in dataclasses.fields(sim.state):
+        if f.name in data:
+            kw[f.name] = jnp.asarray(data[f.name], sim.dtype)
+        else:
+            kw[f.name] = None
+    sim.state = State(**kw)
+    if sim.device_mesh is not None:
+        from nextsim_tpu.parallel.sharding import shard_tree
+
+        sim.state = shard_tree(sim.state, sim.device_mesh)
+    drifters = getattr(sim, "drifters", None)
+    if drifters:
+        for i, d in enumerate(drifters):
+            if getattr(d, "ignore_restart", False):
+                continue  # drifters.<flavour>_ignore_restart: re-init
+            if f"__drifter{i}_x" in data:
+                d.x = data[f"__drifter{i}_x"]
+                d.y = data[f"__drifter{i}_y"]
+                d.ids = data[f"__drifter{i}_id"]
+                d.alive = data[f"__drifter{i}_alive"]
+    if getattr(sim, "wim", None) is not None and "__wim_nfloes" in data:
+        sim._wim_nfloes = jnp.asarray(data["__wim_nfloes"], sim.dtype)
+        if "__wim_sdf" in data and data["__wim_sdf"].shape == sim.wim.sdf.shape:
+            sim.wim.sdf = jnp.asarray(data["__wim_sdf"], sim.dtype)
 
     rtype = cfg["restart.type"]
     if rtype == "arbitrary":

@@ -705,3 +705,80 @@ def test_osisaf_reseeded_trajectories_write(tmp_path):
         # each record fills exactly its own window's columns
         assert int(np.isfinite(lat[0]).sum()) == len(ids_w1)
         assert int(np.isfinite(lat[1]).sum()) == len(ids_w2)
+
+
+def test_orbax_restart_roundtrip(tmp_path):
+    """restart.format=orbax — the sharded TensorStore checkpoint (every
+    process writes its own shards; no rank-0 gather): bitwise-deterministic
+    resume like the npz path, including drifter state."""
+    base = dict(**{
+        "grid.nx": 32, "grid.ny": 32, "grid.resolution": 10e3,
+        "simul.timestep": 300, "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant_partial",
+        "setup.atmosphere-type": "constant", "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 15.0,
+        "simul.spinup_duration": 0.0, "tpu.donate_state": False,
+        "restart.format": "orbax",
+        "drifters.use_equally_spaced_drifters": True,
+        "output.exporter_path": str(tmp_path),
+    })
+    from nextsim_tpu.output.restart import read_restart, write_restart
+
+    sim = Simulator(Config(overrides=dict(base)))
+    for _ in range(3):
+        sim.step()
+    fname = write_restart(sim, name="rt")
+    assert os.path.isdir(fname) and os.path.exists(fname + ".json")
+    ref = {k: np.asarray(v) for k, v in
+           zip(("conc", "vt_u", "damage"),
+               (sim.host_state().conc, sim.host_state().vt_u,
+                sim.host_state().damage))}
+    drifter_x = sim.drifters[0].x.copy()
+
+    sim2 = Simulator(Config(overrides=dict(base, **{
+        "restart.basename": "rt", "restart.type": "continue",
+    })))
+    read_restart(sim2, basename="rt")
+    assert sim2.pcpt == sim.pcpt
+    for k, v in ref.items():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sim2.host_state(), k)), v, err_msg=k
+        )
+    np.testing.assert_array_equal(sim2.drifters[0].x, drifter_x)
+    sim2.step()  # resumed state steps
+
+
+@pytest.mark.slow
+def test_orbax_restart_sharded_roundtrip(tmp_path):
+    """An orbax checkpoint written from a SHARDED run (8-device mesh, device
+    leaves saved shard-parallel) restores bitwise into an UNSHARDED run —
+    topology-agnostic resume."""
+    import jax
+
+    from nextsim_tpu.output.restart import read_restart, write_restart
+    from nextsim_tpu.parallel.sharding import make_device_mesh
+
+    base = dict(**{
+        "grid.nx": 32, "grid.ny": 32, "grid.resolution": 10e3,
+        "simul.timestep": 300, "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant_partial",
+        "setup.atmosphere-type": "constant", "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 15.0,
+        "simul.spinup_duration": 0.0, "tpu.donate_state": False,
+        "restart.format": "orbax",
+        "output.exporter_path": str(tmp_path),
+    })
+    mesh = make_device_mesh(devices=jax.devices()[:8])
+    sim = Simulator(Config(overrides=dict(base)), mesh=mesh)
+    for _ in range(2):
+        sim.step()
+    write_restart(sim, name="sh")
+    ref = np.asarray(sim.host_state().conc)
+
+    sim2 = Simulator(Config(overrides=dict(base, **{
+        "restart.basename": "sh", "restart.type": "continue",
+    })))  # no mesh
+    read_restart(sim2, basename="sh")
+    np.testing.assert_array_equal(np.asarray(sim2.host_state().conc), ref)
