@@ -66,6 +66,15 @@ def _measure(sim, forcing, tinfo, n_steps=30, windows=4):
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
+    try:
+        ma = compiled.memory_analysis()
+        mem = {
+            "temp_bytes": int(getattr(ma, "temp_size_in_bytes", 0)),
+            "argument_bytes": int(getattr(ma, "argument_size_in_bytes", 0)),
+            "output_bytes": int(getattr(ma, "output_size_in_bytes", 0)),
+        }
+    except Exception:
+        mem = {}
     s, _, _ = compiled(sim.state, forcing, tinfo)
     jax.block_until_ready(s)
     best = float("inf")
@@ -80,6 +89,7 @@ def _measure(sim, forcing, tinfo, n_steps=30, windows=4):
         "transcendentals": float(ca.get("transcendentals", 0.0)),
         "bytes": float(ca.get("bytes accessed", 0.0)),
         "step_s": best,
+        "memory": mem,
     }
 
 
@@ -103,6 +113,7 @@ def main() -> None:
         k: (runs["hi"][k] - runs["lo"][k]) / dsub
         for k in ("flops", "transcendentals", "bytes", "step_s")
     }
+    hbm = runs["prod"]["memory"]  # device-memory footprint of one step
     marg_flops_s = per_substep["flops"] / per_substep["step_s"]
     prod = runs["prod"]
     prod_us_per_substep = prod["step_s"] * 1e6 / 120
@@ -141,6 +152,7 @@ def main() -> None:
                 per_substep["transcendentals"] / max(per_substep["flops"], 1.0)
             ),
         },
+        "hbm_memory": hbm,
         "raw": runs,
         "device": str(jax.devices()[0]),
     }
