@@ -98,7 +98,11 @@ def _write_restart_orbax(sim, path: str, name: str, meta: dict, arrays: dict) ->
     parallel (TensorStore/OCDBT under the hood) — no rank-0 gather, no
     O(global) host buffer. A JSON sidecar records meta + the leaf spec so a
     restore can run under ANY topology (different process count or mesh)
-    without trusting the checkpoint's saved shardings."""
+    without trusting the checkpoint's saved shardings.
+
+    The save is synchronous-but-parallel (orbax's own multi-writer IO);
+    ``output.async_io`` applies to the npz path, whose cost is the
+    single-process gather+compress this format avoids."""
     import orbax.checkpoint as ocp
 
     from nextsim_tpu.parallel.multihost import is_writer
