@@ -577,10 +577,9 @@ class Simulator:
                         forcings[i] = forcings[i].replace(
                             ocean_temp=o["sst"], ocean_salt=o["sss"]
                         )
-            for o in outers:  # prime the key template from the first data
-                if o:
+            for o in outers:  # prime/extend the key template over the WHOLE
+                if o:         # chunk so every bundle shares one structure
                     self._nest_bundle(o)
-                    break
             bundles = [self._nest_bundle(o) for o in outers]
             if bundles[0] is not None:
                 nest0 = bundles[0]
@@ -680,15 +679,25 @@ class Simulator:
             prev = getattr(self, "_pending_viol", None)
             self._pending_viol = viol if prev is None else jnp.maximum(prev, viol)
             interval = max(self.cfg["tpu.check_interval"], k)
-            if self.pcpt % interval == 0:
-                flags = np.asarray(self._pending_viol)
-                self._pending_viol = None
-                if flags.any():
-                    msgs = checks.describe(flags, self.dyn.use_young_ice)
-                    self._crash_dump(msgs)
+            # boundary-crossing (pcpt strides by k and k need not divide the
+            # interval); finalise() flushes the final partial window
+            if self.pcpt - getattr(self, "_last_check_pcpt", 0) >= interval:
+                self._last_check_pcpt = self.pcpt
+                self._flush_pending_viol()
         if self.cfg["debugging.check_fields"]:
             self._check_fields_detailed()
         self.timer.tock("step")
+
+    def _flush_pending_viol(self) -> None:
+        """Read the accumulated device-side violation bitmask and crash-dump
+        on any hit (reference: checkFieldsFast throw, fe.cpp:14647-14654)."""
+        pv = getattr(self, "_pending_viol", None)
+        if pv is None:
+            return
+        self._pending_viol = None
+        flags = np.asarray(pv)
+        if flags.any():
+            self._crash_dump(checks.describe(flags, self.dyn.use_young_ice))
 
     # lazily-built parameter bundles for thermo/transport (set in phase 3/4)
     @functools.cached_property
@@ -826,20 +835,39 @@ class Simulator:
         return _dc.replace(forcing, **repl) if repl else forcing
 
     def _nest_bundle(self, outer):
-        """(outer_fields, on) with a run-stable pytree structure for the
+        """(outer_fields, on) with a stable pytree structure for the
         in-program nesting relaxation. Steps with no outer data get the
         zero template with on=0 (a no-op relax) so chunked scans see one
-        structure; None is returned only before any outer data exists."""
+        structure; None is returned only before any outer data exists.
+        A record carrying NEW fields extends the template (one recompile
+        at that boundary); a record missing templated fields turns the
+        whole step off (a partial bundle would wrongly relax the missing
+        fields toward zero) with a one-time warning."""
         keys = getattr(self, "_nest_keys", None)
         if outer:
-            if keys is None:
-                self._nest_keys = keys = tuple(sorted(outer))
+            if keys is None or any(kk not in keys for kk in outer):
+                if keys is not None:
+                    self.log.info(
+                        "nesting: outer data gained fields "
+                        f"{sorted(set(outer) - set(keys))}; extending the "
+                        "relaxation template (recompile)"
+                    )
+                self._nest_keys = keys = tuple(
+                    sorted(set(outer) | set(keys or ()))
+                )
+                zeros = getattr(self, "_nest_zeros", {})
                 self._nest_zeros = {
-                    kk: jnp.zeros_like(jnp.asarray(outer[kk])) for kk in keys
+                    kk: zeros.get(kk, jnp.zeros_like(jnp.asarray(outer[kk])))
+                    for kk in keys
                 }
             if any(kk not in outer for kk in keys):
-                # a partial bundle would wrongly relax the missing fields
-                # toward zero — treat the whole step as data-free
+                if not getattr(self, "_nest_partial_warned", False):
+                    self._nest_partial_warned = True
+                    self.log.info(
+                        "nesting: outer record missing fields "
+                        f"{sorted(set(keys) - set(outer))}; relaxation "
+                        "skipped for such steps"
+                    )
                 return (self._nest_zeros, jnp.asarray(0.0, self.dtype))
             return (
                 {kk: outer[kk] for kk in keys}, jnp.asarray(1.0, self.dtype)
@@ -926,12 +954,11 @@ class Simulator:
             prev = getattr(self, "_pending_viol", None)
             self._pending_viol = viol if prev is None else jnp.maximum(prev, viol)
             interval = self.cfg["tpu.check_interval"]
-            if interval <= 1 or self.pcpt % interval == 0:
-                flags = np.asarray(self._pending_viol)
-                self._pending_viol = None
-                if flags.any():
-                    msgs = checks.describe(flags, self.dyn.use_young_ice)
-                    self._crash_dump(msgs)
+            # boundary-crossing, not modulo: chunked pcpt strides can step
+            # over a multiple of the interval; finalise() flushes the tail
+            if interval <= 1 or self.pcpt - getattr(self, "_last_check_pcpt", 0) >= interval:
+                self._last_check_pcpt = self.pcpt
+                self._flush_pending_viol()
             self.timer.tock("checks")
         if self.cfg["debugging.check_velocity_fields"]:
             n_rogue, max_rel = checks.check_velocity_fields(
@@ -1081,6 +1108,11 @@ class Simulator:
 
     def finalise(self) -> None:
         """End-of-run outputs (reference: fe.cpp:8497-8508 + finalise)."""
+        # violations accumulated since the last batched readback must be
+        # checked BEFORE the final artifacts are written — otherwise a NaN
+        # tail window would persist a corrupt "final" restart with exit 0
+        if self.check_fast:
+            self._flush_pending_viol()
         cfg = self.cfg
         if cfg["output.export_fields"] and self.export_interval_steps:
             from nextsim_tpu.output.exporter import export_snapshot
@@ -1128,32 +1160,35 @@ class Simulator:
         if self.maxiteration > 0:
             n_steps = min(n_steps, self.maxiteration)
         k = self._chunk_k
-        if k > 1 and self.coupler is not None:
-            # puts happen at chunk boundaries, so k must divide the coupler
-            # window (reference cadence: coupler.timestep, fe.cpp:8226-8265);
-            # the in-scan accumulation keeps the means per-step exact
-            win_steps = max(1, round(self.coupler.dt_cpl / self.dt))
+        if k > 1 and (self.coupler is not None or self.drifters):
+            # joint clamp: puts happen at chunk boundaries, so k must divide
+            # the coupler window (reference cadence: coupler.timestep,
+            # fe.cpp:8226-8265) AND stay at or under the finest drifter
+            # cadence (moves happen at chunk boundaries) — the largest k
+            # satisfying both, found by descending together (a sequential
+            # pair of clamps could pick a k that re-breaks the first rule)
+            win_steps = (
+                max(1, round(self.coupler.dt_cpl / self.dt))
+                if self.coupler is not None else None
+            )
+            cad_steps = None
+            if self.drifters:
+                cad_days = min(d.output_dt_days for d in self.drifters)
+                cad_steps = max(
+                    1, round(cad_days / (self.dt * dates.DAYS_IN_SEC))
+                )
             k_new = k
-            while win_steps % k_new:
+            while (win_steps is not None and win_steps % k_new) or (
+                cad_steps is not None and k_new > cad_steps
+            ):
                 k_new -= 1
             if k_new != k:
                 self.log.info(
                     f"tpu.steps_per_call clamped {k}->{k_new}: must divide "
-                    f"the coupler window ({win_steps} steps)"
+                    f"the coupler window ({win_steps} steps) and stay at or "
+                    f"under the finest drifter cadence ({cad_steps} steps)"
                 )
                 k = self._chunk_k = k_new
-                self._chunk_fn = None
-        if k > 1 and self.drifters:
-            # drifters move at chunk boundaries only; a cadence finer than
-            # the chunk would silently alias to the boundary, so clamp k
-            cad_days = min(d.output_dt_days for d in self.drifters)
-            cad_steps = max(1, round(cad_days / (self.dt * dates.DAYS_IN_SEC)))
-            if cad_steps < k:
-                self.log.info(
-                    f"tpu.steps_per_call clamped {k}->{cad_steps}: finest "
-                    f"drifter cadence ({cad_days:g} d) is finer than the chunk"
-                )
-                k = self._chunk_k = cad_steps
                 self._chunk_fn = None
         self.log.info(f"run: {n_steps} steps of {self.dt}s" + (f" ({k}/call)" if k > 1 else ""))
         ptime = max(1, n_steps * self.cfg["debugging.ptime_percent"] // 100)

@@ -280,7 +280,8 @@ def _metrics(ref: np.ndarray, ours: np.ndarray, where: np.ndarray, tol: float):
 
 
 def statistical_metrics(sim, ref_fields: Dict[str, np.ndarray],
-                        cell_ok: np.ndarray, node_ok: np.ndarray):
+                        cell_ok: np.ndarray, node_ok: np.ndarray,
+                        state=None):
     """The long-horizon comparison channel: deformation-PDF percentiles /
     tail exponent (Rampal 2016 / Olason 2024 statistics, SURVEY §6) and
     integral ice extent/area/volume — Lagrangian-vs-Eulerian trajectories
@@ -293,7 +294,8 @@ def statistical_metrics(sim, ref_fields: Dict[str, np.ndarray],
     from nextsim_tpu.validation.deformation import deformation_rates, stats
 
     grid = sim.grid
-    state = sim.host_state()
+    if state is None:  # callers with a gathered state pass it (one gather)
+        state = sim.host_state()
     dx = grid.dx
     out: Dict[str, Dict] = {}
 
@@ -316,7 +318,9 @@ def statistical_metrics(sim, ref_fields: Dict[str, np.ndarray],
         deform = {"ref": s_ref, "ours": s_ours}
         for q in ("p50_per_day", "p90_per_day", "p99_per_day", "mean_per_day"):
             if s_ref.get(q, 0.0) > 0.0 and q in s_ours:
-                deform[f"ratio_{q[:3]}"] = s_ours[q] / s_ref[q]
+                deform[f"ratio_{q.removesuffix('_per_day')}"] = (
+                    s_ours[q] / s_ref[q]
+                )
         if "tail_exponent" in s_ref and "tail_exponent" in s_ours:
             deform["tail_exponent_diff"] = (
                 s_ours["tail_exponent"] - s_ref["tail_exponent"]
@@ -396,7 +400,9 @@ def compare_snapshot(snap: RefSnapshot, sim, tolerances: Optional[Dict[str, floa
         ref_speed = np.hypot(ref_fields["M_VT_x"], ref_fields["M_VT_y"])
         our_speed = np.hypot(np.asarray(state.vt_u, np.float64), np.asarray(state.vt_v, np.float64))
         report["speed"] = _metrics(ref_speed, our_speed, node_ok, tolerances.get("speed", defaults["speed"]))
-    report["_statistics"] = statistical_metrics(sim, ref_fields, cell_ok, node_ok)
+    report["_statistics"] = statistical_metrics(
+        sim, ref_fields, cell_ok, node_ok, state=state
+    )
     if horizon_days is not None:
         report["_tier"] = (
             "pointwise" if horizon_days <= POINTWISE_HORIZON_DAYS else "statistical"

@@ -352,3 +352,43 @@ def test_chunk_clamped_to_drifter_cadence(tmp_path):
     assert sim._chunk_k == 12
     sim.run()
     assert sim._chunk_k == 2
+
+
+def test_chunk_clamp_joint_coupler_and_drifters(tmp_path):
+    """The k clamp must satisfy BOTH constraints at once: dividing the
+    coupler window and staying under the drifter cadence (a sequential pair
+    of clamps could pick a k that re-breaks the divisibility rule)."""
+    sim = Simulator(toy_config(**{
+        "grid.nx": 32, "grid.ny": 32,
+        "simul.duration": 0.0,
+        "simul.timestep": 200,
+        "tpu.steps_per_call": 12,
+        "setup.ocean-type": "coupled",
+        "coupler.timestep": 2400,  # 12-step window
+        "drifters.use_equally_spaced_drifters": True,
+        "drifters.equally_spaced_drifters_output_time_step": 1000.0 / 86400.0,
+        "output.exporter_path": str(tmp_path),
+    }))
+    sim.run()
+    # largest k <= 5 (drifter cadence) that divides 12 (coupler window)
+    assert sim._chunk_k == 4
+
+
+def test_final_partial_check_window_flushes(tmp_path):
+    """With a batched violation readback (tpu.check_interval > steps run),
+    finalise() must still flush the accumulated bitmask so a NaN state
+    cannot be written as a successful 'final' restart."""
+    import jax.numpy as jnp
+
+    sim = Simulator(toy_config(**{
+        "grid.nx": 32, "grid.ny": 32,
+        "tpu.check_interval": 1000,
+        "output.exporter_path": str(tmp_path),
+    }))
+    conc = np.asarray(sim.host_state().conc).copy()
+    conc[5, 7] = np.nan
+    sim.state = sim.state.replace(conc=jnp.asarray(conc))
+    sim.step()  # accumulates the violation; no readback at this interval
+    assert sim._pending_viol is not None
+    with pytest.raises(RuntimeError):
+        sim.finalise()
