@@ -19,7 +19,12 @@ import jax
 
 
 def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 120,
-            partition_mode: str = "gspmd", halo_depth: int = 1) -> List[dict]:
+            partition_mode: str = "gspmd", halo_depth: int = 1,
+            mode: str = "weak") -> List[dict]:
+    """mode='weak': the grid grows with the mesh (cells_per_device_side^2
+    cells per device — the SURVEY §6 north-star measurement). mode='strong':
+    one FIXED global grid (sized for the full mesh) is re-run on every mesh
+    size; efficiency = rate(nd) / (nd * rate(1))."""
     from nextsim_tpu.config import Config
     from nextsim_tpu.model.simulator import Simulator
     from nextsim_tpu.parallel.sharding import make_device_mesh, shard_tree
@@ -34,12 +39,19 @@ def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 12
     if sizes[-1] != n_total:
         sizes.append(n_total)
 
+    full = make_device_mesh(devices=jax.devices()).devices.shape
     base_rate = None
     for nd in sizes:
         mesh = make_device_mesh(devices=jax.devices()[:nd])
         dpy, dpx = mesh.devices.shape
-        ny = cells_per_device_side * dpy
-        nx = cells_per_device_side * dpx
+        if mode == "strong":
+            # fixed global grid sized for the FULL mesh (divisible by every
+            # smaller near-square mesh by construction: power-of-two fronts)
+            ny = cells_per_device_side * full[0]
+            nx = cells_per_device_side * full[1]
+        else:
+            ny = cells_per_device_side * dpy
+            nx = cells_per_device_side * dpx
         cfg = Config(overrides={
             "grid.preset": "arctic", "grid.nx": nx, "grid.ny": ny,
             "grid.resolution": 10e3,
@@ -68,15 +80,17 @@ def measure(cells_per_device_side: int = 304, steps: int = 5, substeps: int = 12
         rate = nx * ny * substeps * steps / dt_wall  # cell-substeps/s total
         per_dev = rate / nd
         if base_rate is None:
-            base_rate = per_dev
+            base_rate = rate if mode == "strong" else per_dev
+        eff = (rate / (nd * base_rate)) if mode == "strong" else per_dev / base_rate
         results.append({
             "devices": nd,
+            "mode": mode,
             "schedule": f"{partition_mode}@H{halo_depth}" if nd > 1 else "gspmd",
             "mesh": list(mesh.devices.shape),
             "grid": f"{nx}x{ny}",
             "cell_substeps_per_s": round(rate, 1),
             "per_device": round(per_dev, 1),
-            "weak_scaling_efficiency": round(per_dev / base_rate, 4),
+            "scaling_efficiency": round(eff, 4),
         })
         print(json.dumps(results[-1]))
     return results
@@ -94,8 +108,13 @@ def write_artifact(path: str, cells_per_device_side: int = 64, steps: int = 3,
     if len(jax.devices()) > 1:
         legs += [("shard_map", 1), ("shard_map", 4)]
     runs = []
-    for mode, depth in legs:
-        runs += measure(cells_per_device_side, steps, substeps, mode, depth)
+    for pmode, depth in legs:
+        runs += measure(cells_per_device_side, steps, substeps, pmode, depth)
+    if len(jax.devices()) > 1:
+        # one strong-scaling series (fixed global grid) for the default
+        # schedule — the operations-facing complement to the weak series
+        runs += measure(cells_per_device_side, steps, substeps, "gspmd", 1,
+                        mode="strong")
     artifact = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
@@ -104,9 +123,10 @@ def write_artifact(path: str, cells_per_device_side: int = 64, steps: int = 3,
         "steps": steps,
         "substeps": substeps,
         "note": (
-            "weak scaling: grid grows with the mesh "
-            "(cells_per_device_side^2 cells per device); efficiency is "
-            "per-device rate vs the 1-device point of the same schedule"
+            "mode=weak: grid grows with the mesh (cells_per_device_side^2 "
+            "cells per device), efficiency = per-device rate vs the "
+            "1-device point of the same schedule. mode=strong: one fixed "
+            "global grid, efficiency = rate(nd)/(nd*rate(1))."
         ),
         "runs": runs,
     }

@@ -251,6 +251,11 @@ def test_scaling_harness_smoke():
     assert results[-1]["devices"] == len(jax.devices())
     for r in results:
         assert r["cell_substeps_per_s"] > 0
+    # strong mode: one fixed global grid across mesh sizes
+    strong = measure(cells_per_device_side=16, steps=1, substeps=4,
+                     mode="strong")
+    assert len({r["grid"] for r in strong}) == 1
+    assert strong[0]["scaling_efficiency"] == 1.0
 
 
 def test_mesh_from_config_cli_path(tmp_path):
