@@ -34,7 +34,14 @@ class BatchedEnsemble:
     """N-member ensemble advanced by one vmapped step program."""
 
     def __init__(self, cfg, n_members: int, seed: int = 11,
-                 params: Optional[PerturbationParams] = None):
+                 params: Optional[PerturbationParams] = None, mesh=None):
+        """``mesh``: optional 1-D `jax.sharding.Mesh` over axis ``'member'``
+        — members distribute across devices as pure data parallelism (the
+        TPU-pod analog of the reference's one-MPI-job-per-member layout,
+        scripts/ensemble/run_ensemble.sh, with zero physics changes: GSPMD
+        partitions the leading member axis). n_members must divide the
+        mesh. Without a mesh the ensemble batches on one device (VPU-wide)
+        exactly as before."""
         from nextsim_tpu.model.simulator import Simulator
 
         if n_members < 1:
@@ -45,9 +52,20 @@ class BatchedEnsemble:
                 "statevector.ensemble_member at 0"
             )
         self.n = n_members
+        self.member_mesh = mesh
+        if mesh is not None:
+            if tuple(mesh.axis_names) != ("member",):
+                raise ValueError(
+                    "BatchedEnsemble mesh must be 1-D over axis 'member'"
+                )
+            if n_members % mesh.devices.size:
+                raise ValueError(
+                    f"n_members={n_members} must divide the "
+                    f"{mesh.devices.size}-device member mesh"
+                )
         self.sim = Simulator(cfg)  # template: control provider, step fn, grid
         self.states = jax.tree.map(
-            lambda x: jnp.stack([x] * n_members), self.sim.state
+            lambda x: self._place(jnp.stack([x] * n_members)), self.sim.state
         )
 
         # one perturbation engine per member semantics, but vectorized:
@@ -57,14 +75,28 @@ class BatchedEnsemble:
             seed=seed,
         )
         self._pert.member = 1  # enable the perturbed path
-        self.keys = jax.vmap(
+        # sharded layout: every member (incl. the control slot 0, whose
+        # perturbation is discarded) carries a key/carry so the leading axis
+        # divides the mesh; member m>=1 keys match the unsharded path
+        first = 0 if mesh is not None else 1
+        self.keys = self._place(jax.vmap(
             lambda m: jax.random.PRNGKey(seed * 1000003 + m)
-        )(jnp.arange(1, n_members))
-        self._ran = None  # AR(1) carry, (n-1, 4, ny, nx)
+        )(jnp.arange(first, n_members)))
+        self._ran = None  # AR(1) carry, (n[-1], 4, ny, nx)
         self._vdraw = jax.jit(jax.vmap(self._pert._draw_stack))
         self._vpert = jax.jit(jax.vmap(self._pert._step, in_axes=(0, 0, None)))
         self._vstep = jax.jit(jax.vmap(self.sim.raw_step_fn, in_axes=(0, 0, None)))
         self.pcpt = 0
+
+    def _place(self, x):
+        """Shard a leading-member-axis array over the member mesh (no-op
+        without one)."""
+        if self.member_mesh is None or getattr(x, "ndim", 0) < 1:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(*(["member"] + [None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.member_mesh, spec))
 
     # -- forcing ----------------------------------------------------------
     def _batched_forcing(self, t_days: float):
@@ -77,8 +109,15 @@ class BatchedEnsemble:
             return jax.tree.map(lambda x: x[None], base)
         if self._ran is None:
             self.keys, subs = jax.vmap(jax.random.split, out_axes=1)(self.keys)
-            self._ran = self._vdraw(subs)
+            self._ran = self._place(self._vdraw(subs))
         self.keys, self._ran, perturbed = self._vpert(self.keys, self._ran, base)
+        if self.member_mesh is not None:
+            # all n slots are perturbed (even leading axis); the control's
+            # slot 0 is overwritten with the unperturbed base in place, so
+            # the member axis stays block-sharded (no concatenate reshuffle)
+            return jax.tree.map(
+                lambda b, p: self._place(p.at[0].set(b)), base, perturbed
+            )
         return jax.tree.map(
             lambda b, p: jnp.concatenate([b[None], p]), base, perturbed
         )

@@ -546,3 +546,53 @@ def test_nested_run_chunked_matches_per_step(tmp_path):
     # the sponge really pulled toward the outer fields in both
     c = np.asarray(s2.host_state().conc)
     assert c[2, 12] > 0.4
+
+
+@pytest.mark.slow
+def test_member_sharded_ensemble_matches_batched(tmp_path):
+    """BatchedEnsemble with a 1-D 'member' device mesh: members distribute
+    across devices as pure data parallelism (pod analog of the reference's
+    one-MPI-job-per-member ensemble) and reproduce the single-device
+    batched ensemble member for member."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nextsim_tpu.ensemble.batched import BatchedEnsemble
+
+    base = {
+        "grid.preset": "square",
+        "grid.nx": 24, "grid.ny": 24, "grid.resolution": 10e3,
+        "simul.timestep": 200, "simul.time_init": "2015-10-16 00:00:00",
+        "simul.duration": 1.0,
+        "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant",
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 10.0,
+        "simul.spinup_duration": 0.0,
+        "tpu.donate_state": False,
+        "output.exporter_path": str(tmp_path),
+    }
+    n = 8
+    ens1 = BatchedEnsemble(Config(dict(base)), n_members=n)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("member",))
+    ens2 = BatchedEnsemble(Config(dict(base)), n_members=n, mesh=mesh)
+    ens1.run(3)
+    ens2.run(3)
+    for m in range(n):
+        a = np.asarray(ens1.member_state(m).conc)
+        b = np.asarray(ens2.member_state(m).conc)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-7,
+                                   err_msg=f"member {m}")
+        au = np.asarray(ens1.member_state(m).vt_u)
+        bu = np.asarray(ens2.member_state(m).vt_u)
+        # jit(vmap) fusion order differs between the sharded and
+        # single-device compiles: allow sub-um/s absolute noise
+        np.testing.assert_allclose(bu, au, rtol=2e-5, atol=5e-6,
+                                   err_msg=f"member {m} vt_u")
+    # perturbed members genuinely sharded and genuinely spread
+    sp = ens2.spread()
+    assert sp["vt_u"] > 0.0
+    leaf = ens2.states.conc
+    assert len(leaf.sharding.device_set) == 8
