@@ -66,6 +66,10 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     "debugging.log-level": (str, "info"),
     "debugging.log-all": (bool, False),
     "debugging.ptime_percent": (int, 5),
+    # new: write a jax.profiler trace of the main loop to this directory
+    # ("" = off) — the xprof/tensorboard analog of the reference's
+    # gperftools hook (model/run.sh:64-78)
+    "debugging.profile_dir": (str, ""),
     "debugging.maxiteration": (int, -1),
     "debugging.check_fields": (bool, False),
     "debugging.test_proc_number": (int, -1),

@@ -1192,23 +1192,32 @@ class Simulator:
                 self._chunk_fn = None
         self.log.info(f"run: {n_steps} steps of {self.dt}s" + (f" ({k}/call)" if k > 1 else ""))
         ptime = max(1, n_steps * self.cfg["debugging.ptime_percent"] // 100)
-        i = 0
-        while i < n_steps:
-            if k > 1 and i + k <= n_steps:
-                self.step_chunk()
-                i += k
-            else:
-                self.step()
-                i += 1
-            if callbacks:
-                for cb in callbacks:
-                    cb(self)
-            if i % ptime < (k if k > 1 else 1) and i >= ptime:
-                self.log.info(
-                    f"---------------------- TIME STEP {self.pcpt} : "
-                    f"{dates.datenum_to_string(self.current_time)} "
-                    f"({100*i//n_steps}%)"
-                )
-        jax.block_until_ready(self.state)
+        profile_dir = self.cfg["debugging.profile_dir"]
+        if profile_dir:
+            # xprof trace of the whole main loop (device + host timelines) —
+            # the analog of the reference's gperftools hook (run.sh:64-78)
+            jax.profiler.start_trace(profile_dir)
+        try:
+            i = 0
+            while i < n_steps:
+                if k > 1 and i + k <= n_steps:
+                    self.step_chunk()
+                    i += k
+                else:
+                    self.step()
+                    i += 1
+                if callbacks:
+                    for cb in callbacks:
+                        cb(self)
+                if i % ptime < (k if k > 1 else 1) and i >= ptime:
+                    self.log.info(
+                        f"---------------------- TIME STEP {self.pcpt} : "
+                        f"{dates.datenum_to_string(self.current_time)} "
+                        f"({100*i//n_steps}%)"
+                    )
+            jax.block_until_ready(self.state)
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
         self.finalise()
         return self.state

@@ -51,3 +51,29 @@ def test_compilation_cache_option(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     entries = list(cache.glob("*"))
     assert entries, "no compilation cache entries written"
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """debugging.profile_dir wraps the main loop in a jax.profiler trace
+    (the xprof analog of the reference's gperftools hook, run.sh:64-78)."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+
+    prof = tmp_path / "prof"
+    cfg = Config(overrides={
+        "grid.nx": 32, "grid.ny": 32, "grid.resolution": 10e3,
+        "simul.timestep": 300, "simul.duration": 900.0 / 86400.0,
+        "simul.time_init": "2015-10-16 00:00:00",
+        "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant", "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 10.0,
+        "output.exporter_path": str(tmp_path / "out"),
+        "output.output_per_day": 0,
+        "debugging.profile_dir": str(prof),
+    })
+    Simulator(cfg).run()
+    traces = list(prof.rglob("*.pb")) + list(prof.rglob("*.json.gz")) \
+        + list(prof.rglob("*.trace*"))
+    assert traces, f"no trace files under {prof}"
