@@ -54,14 +54,16 @@ class BatchedEnsemble:
         self.n = n_members
         self.member_mesh = mesh
         if mesh is not None:
-            if tuple(mesh.axis_names) != ("member",):
+            names = tuple(mesh.axis_names)
+            if names not in (("member",), ("member", "y", "x")):
                 raise ValueError(
-                    "BatchedEnsemble mesh must be 1-D over axis 'member'"
+                    "BatchedEnsemble mesh must be 1-D ('member',) or 3-D "
+                    "('member','y','x') — members × domain decomposition"
                 )
-            if n_members % mesh.devices.size:
+            if n_members % mesh.devices.shape[0]:
                 raise ValueError(
-                    f"n_members={n_members} must divide the "
-                    f"{mesh.devices.size}-device member mesh"
+                    f"n_members={n_members} must divide the mesh's member "
+                    f"axis ({mesh.devices.shape[0]} devices)"
                 )
         self.sim = Simulator(cfg)  # template: control provider, step fn, grid
         self.states = jax.tree.map(
@@ -85,18 +87,81 @@ class BatchedEnsemble:
         self._ran = None  # AR(1) carry, (n[-1], 4, ny, nx)
         self._vdraw = jax.jit(jax.vmap(self._pert._draw_stack))
         self._vpert = jax.jit(jax.vmap(self._pert._step, in_axes=(0, 0, None)))
-        self._vstep = jax.jit(jax.vmap(self.sim.raw_step_fn, in_axes=(0, 0, None)))
+        if mesh is not None and tuple(mesh.axis_names) == ("member", "y", "x"):
+            # members × domain decomposition: node planes arrive end-padded
+            # (see _place); crop to the logical staggered view before the
+            # vmapped physics and re-pad + re-pin the 3-D sharding after —
+            # the same layout discipline as the Simulator's own mesh path
+            from nextsim_tpu.parallel.sharding import crop_node_leaves
+
+            ny, nx = self.sim.grid.shape
+            raw = self.sim.raw_step_fn
+
+            def sharded_step(states, forcing, tinfo):
+                states = crop_node_leaves(states, ny, nx)
+                forcing = crop_node_leaves(forcing, ny, nx)
+                s, d, v = jax.vmap(raw, in_axes=(0, 0, None))(
+                    states, forcing, tinfo
+                )
+                return self._constrain(s), self._constrain(d), v
+
+            self._vstep = jax.jit(sharded_step)
+        else:
+            self._vstep = jax.jit(
+                jax.vmap(self.sim.raw_step_fn, in_axes=(0, 0, None))
+            )
         self.pcpt = 0
 
     def _place(self, x):
         """Shard a leading-member-axis array over the member mesh (no-op
-        without one)."""
+        without one). On a 3-D ('member','y','x') mesh the trailing two
+        dims of grid planes also block-shard (members × domain
+        decomposition — the EnKF pod layout: BASELINE config 5 'one member
+        per chip/host slice' combined with SURVEY §7's spatial mesh); node
+        planes are end-padded to shard-divisible shapes exactly like the
+        Simulator's own mesh path (the step crops them internally)."""
         if self.member_mesh is None or getattr(x, "ndim", 0) < 1:
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        spec = P(*(["member"] + [None] * (x.ndim - 1)))
+        names = tuple(self.member_mesh.axis_names)
+        if names == ("member", "y", "x") and x.ndim >= 3:
+            from nextsim_tpu.parallel.sharding import padded_dim
+
+            _, dpy, dpx = self.member_mesh.devices.shape
+            py = padded_dim(x.shape[-2], dpy) - x.shape[-2]
+            px = padded_dim(x.shape[-1], dpx) - x.shape[-1]
+            if py or px:
+                widths = [(0, 0)] * (x.ndim - 2) + [(0, py), (0, px)]
+                x = jnp.pad(x, widths)
+            spec = P(*(["member"] + [None] * (x.ndim - 3) + ["y", "x"]))
+        else:
+            spec = P(*(["member"] + [None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(self.member_mesh, spec))
+
+    def _constrain(self, tree):
+        """In-jit analog of _place for the 3-D mesh: pad node planes back to
+        the shard-divisible layout and pin P('member', ..., 'y', 'x')."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nextsim_tpu.parallel.sharding import padded_dim
+
+        _, dpy, dpx = self.member_mesh.devices.shape
+
+        def f(x):
+            if x is None or getattr(x, "ndim", 0) < 3:
+                return x
+            py = padded_dim(x.shape[-2], dpy) - x.shape[-2]
+            px = padded_dim(x.shape[-1], dpx) - x.shape[-1]
+            if py or px:
+                widths = [(0, 0)] * (x.ndim - 2) + [(0, py), (0, px)]
+                x = jnp.pad(x, widths)
+            spec = P(*(["member"] + [None] * (x.ndim - 3) + ["y", "x"]))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.member_mesh, spec)
+            )
+
+        return jax.tree.map(f, tree)
 
     # -- forcing ----------------------------------------------------------
     def _batched_forcing(self, t_days: float):
@@ -140,8 +205,21 @@ class BatchedEnsemble:
 
     # -- analysis ---------------------------------------------------------
     def member_state(self, k: int):
-        """Unstacked State of member k (0 = control)."""
-        return jax.tree.map(lambda x: x[k], self.states)
+        """Unstacked State of member k (0 = control), at logical shapes."""
+        st = jax.tree.map(lambda x: x[k], self.states)
+        return self._logical(st)
+
+    def _logical(self, tree):
+        """Crop boundary-padded node leaves (3-D member mesh) back to the
+        logical staggered view; no-op otherwise."""
+        if (
+            self.member_mesh is not None
+            and tuple(self.member_mesh.axis_names) == ("member", "y", "x")
+        ):
+            from nextsim_tpu.parallel.sharding import crop_node_leaves
+
+            tree = crop_node_leaves(tree, *self.sim.grid.shape)
+        return tree
 
     def spread(self, fields=("conc", "thick", "vt_u", "vt_v")) -> Dict[str, float]:
         """Domain-mean ensemble standard deviation per field (the usual
@@ -155,7 +233,7 @@ class BatchedEnsemble:
         return out
 
     def mean_state(self):
-        """Ensemble-mean State (the EnKF forecast mean)."""
-        return jax.tree.map(
+        """Ensemble-mean State (the EnKF forecast mean), at logical shapes."""
+        return self._logical(jax.tree.map(
             lambda x: x.mean(axis=0).astype(x.dtype), self.states
-        )
+        ))

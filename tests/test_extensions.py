@@ -596,3 +596,47 @@ def test_member_sharded_ensemble_matches_batched(tmp_path):
     assert sp["vt_u"] > 0.0
     leaf = ens2.states.conc
     assert len(leaf.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_member_and_domain_sharded_ensemble(tmp_path):
+    """The full EnKF pod layout: a 3-D ('member','y','x') mesh shards
+    members AND the domain at once (BASELINE config 5's members-per-slice
+    combined with the spatial decomposition); member-for-member equal to
+    the single-device batched ensemble."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nextsim_tpu.ensemble.batched import BatchedEnsemble
+
+    base = {
+        "grid.preset": "square",
+        "grid.nx": 24, "grid.ny": 24, "grid.resolution": 10e3,
+        "simul.timestep": 200, "simul.time_init": "2015-10-16 00:00:00",
+        "simul.duration": 1.0,
+        "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant",
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 10.0,
+        "simul.spinup_duration": 0.0,
+        "tpu.donate_state": False,
+        "output.exporter_path": str(tmp_path),
+    }
+    n = 4
+    ens1 = BatchedEnsemble(Config(dict(base)), n_members=n)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                ("member", "y", "x"))
+    ens2 = BatchedEnsemble(Config(dict(base)), n_members=n, mesh=mesh)
+    ens1.run(3)
+    ens2.run(3)
+    for m in range(n):
+        for fld, atol in (("conc", 1e-7), ("vt_u", 5e-6)):
+            a = np.asarray(getattr(ens1.member_state(m), fld))
+            b = np.asarray(getattr(ens2.member_state(m), fld))
+            np.testing.assert_allclose(
+                b, a, rtol=2e-5, atol=atol, err_msg=f"member {m} {fld}"
+            )
+    # the state really is spread over all 8 devices
+    assert len(ens2.states.conc.sharding.device_set) == 8
