@@ -249,3 +249,32 @@ def test_two_process_orbax_sharded_checkpoint(tmp_path):
     c = np.asarray(sim.host_state().conc)
     assert 0.0 <= c.min() and c.max() <= 1.0 and c.max() > 0.9
     sim.step()
+
+
+@pytest.mark.slow
+def test_two_process_coupled_chunked(tmp_path):
+    """Coupled + chunked under REAL multi-process execution: in-scan coupler
+    means gather collectively, process 0 writes the puts, and the exchange
+    files are bitwise identical to the single-process run."""
+    from scipy.io import netcdf_file
+
+    d2 = tmp_path / "p2"
+    d1 = tmp_path / "p1"
+    extra = (
+        "setup.ocean-type=coupled",
+        "coupler.timestep=1200",  # 4 steps of the toy 300 s timestep
+        "tpu.steps_per_call=3",   # clamps to 2 (drifter cadence), divides 4
+    )
+    _run_cli(d2, 2, _free_port(), extra=extra)
+    _run_cli(d1, 1, extra=extra)
+
+    outs2 = sorted((d2 / "coupler").glob("cpl_out_*.nc"))
+    outs1 = sorted((d1 / "coupler").glob("cpl_out_*.nc"))
+    assert [p.name for p in outs2] == [p.name for p in outs1]
+    assert len(outs2) == 4  # 18 steps / 4-step window -> puts at 4,8,12,16
+    with netcdf_file(str(outs2[-1]), "r") as a, \
+         netcdf_file(str(outs1[-1]), "r") as b:
+        for k in a.variables:
+            np.testing.assert_array_equal(
+                a.variables[k][:], b.variables[k][:], err_msg=k
+            )
