@@ -66,6 +66,15 @@ class BatchedEnsemble:
                     f"axis ({mesh.devices.shape[0]} devices)"
                 )
         self.sim = Simulator(cfg)  # template: control provider, step fn, grid
+        if mesh is not None and tuple(mesh.axis_names) == ("member", "y", "x"):
+            _, dpy, dpx = mesh.devices.shape
+            ny, nx = self.sim.grid.shape
+            if ny % dpy or nx % dpx:
+                raise ValueError(
+                    f"grid {ny}x{nx} does not divide the member mesh's "
+                    f"({dpy},{dpx}) spatial axes: choose grid.ny/nx "
+                    "divisible by them (same rule as tpu.mesh_shape)"
+                )
         self.states = jax.tree.map(
             lambda x: self._place(jnp.stack([x] * n_members)), self.sim.state
         )
@@ -112,17 +121,17 @@ class BatchedEnsemble:
             )
         self.pcpt = 0
 
-    def _place(self, x):
-        """Shard a leading-member-axis array over the member mesh (no-op
-        without one). On a 3-D ('member','y','x') mesh the trailing two
-        dims of grid planes also block-shard (members × domain
+    def _pad_spec(self, x):
+        """(padded array, PartitionSpec) for a leading-member-axis array
+        under the member mesh. On a 3-D ('member','y','x') mesh the
+        trailing two dims of grid planes also block-shard (members × domain
         decomposition — the EnKF pod layout: BASELINE config 5 'one member
         per chip/host slice' combined with SURVEY §7's spatial mesh); node
         planes are end-padded to shard-divisible shapes exactly like the
-        Simulator's own mesh path (the step crops them internally)."""
-        if self.member_mesh is None or getattr(x, "ndim", 0) < 1:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        Simulator's own mesh path (the step crops them internally). ONE
+        source of truth for both the host-side placement (_place) and the
+        in-jit constraint (_constrain)."""
+        from jax.sharding import PartitionSpec as P
 
         names = tuple(self.member_mesh.axis_names)
         if names == ("member", "y", "x") and x.ndim >= 3:
@@ -134,29 +143,28 @@ class BatchedEnsemble:
             if py or px:
                 widths = [(0, 0)] * (x.ndim - 2) + [(0, py), (0, px)]
                 x = jnp.pad(x, widths)
-            spec = P(*(["member"] + [None] * (x.ndim - 3) + ["y", "x"]))
-        else:
-            spec = P(*(["member"] + [None] * (x.ndim - 1)))
+            return x, P(*(["member"] + [None] * (x.ndim - 3) + ["y", "x"]))
+        return x, P(*(["member"] + [None] * (x.ndim - 1)))
+
+    def _place(self, x):
+        """Host-side: shard a leading-member-axis array over the member
+        mesh (no-op without one)."""
+        if self.member_mesh is None or getattr(x, "ndim", 0) < 1:
+            return x
+        from jax.sharding import NamedSharding
+
+        x, spec = self._pad_spec(x)
         return jax.device_put(x, NamedSharding(self.member_mesh, spec))
 
     def _constrain(self, tree):
-        """In-jit analog of _place for the 3-D mesh: pad node planes back to
-        the shard-divisible layout and pin P('member', ..., 'y', 'x')."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from nextsim_tpu.parallel.sharding import padded_dim
-
-        _, dpy, dpx = self.member_mesh.devices.shape
+        """In-jit analog of _place: pad + pin the member-mesh sharding on
+        every leading-member-axis leaf."""
+        from jax.sharding import NamedSharding
 
         def f(x):
-            if x is None or getattr(x, "ndim", 0) < 3:
+            if x is None or getattr(x, "ndim", 0) < 1:
                 return x
-            py = padded_dim(x.shape[-2], dpy) - x.shape[-2]
-            px = padded_dim(x.shape[-1], dpx) - x.shape[-1]
-            if py or px:
-                widths = [(0, 0)] * (x.ndim - 2) + [(0, py), (0, px)]
-                x = jnp.pad(x, widths)
-            spec = P(*(["member"] + [None] * (x.ndim - 3) + ["y", "x"]))
+            x, spec = self._pad_spec(x)
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(self.member_mesh, spec)
             )
@@ -179,10 +187,19 @@ class BatchedEnsemble:
         if self.member_mesh is not None:
             # all n slots are perturbed (even leading axis); the control's
             # slot 0 is overwritten with the unperturbed base in place, so
-            # the member axis stays block-sharded (no concatenate reshuffle)
-            return jax.tree.map(
-                lambda b, p: self._place(p.at[0].set(b)), base, perturbed
-            )
+            # the member axis stays block-sharded (no concatenate
+            # reshuffle). One jitted program: an eager at[].set + pad +
+            # device_put here would issue per-leaf host dispatches and a
+            # cross-device reshard every step
+            if not hasattr(self, "_fix0"):
+                def fix0(b, p):
+                    out = jax.tree.map(
+                        lambda bb, pp: pp.at[0].set(bb), b, p
+                    )
+                    return self._constrain(out)
+
+                self._fix0 = jax.jit(fix0)
+            return self._fix0(base, perturbed)
         return jax.tree.map(
             lambda b, p: jnp.concatenate([b[None], p]), base, perturbed
         )
@@ -225,8 +242,9 @@ class BatchedEnsemble:
         """Domain-mean ensemble standard deviation per field (the usual
         spread diagnostic for perturbation sanity)."""
         out = {}
+        states = self._logical(self.states)  # exclude boundary-pad lanes
         for name in fields:
-            x = getattr(self.states, name)
+            x = getattr(states, name)
             if x is None:
                 continue
             out[name] = float(jnp.asarray(x, jnp.float32).std(axis=0).mean())
