@@ -51,6 +51,10 @@ RECEIVED_TO_FORCING = {
     "vocean": "ocean_v",
     "ssh": "ssh",
     "mld": "mld",
+    # fraction of shortwave absorbed in the mixed layer (reference:
+    # I_FrcQsr received at fe.cpp:7781 -> M_qsrml, consumed in the
+    # open-water heat budget Qow += Qsw*qsrml, fe.cpp:5154)
+    "qsrml": "qsrml",
     "tauwix": "tau_wi_u",
     "tauwiy": "tau_wi_v",
     "wlbk": "wlbk",
@@ -72,8 +76,21 @@ class Coupler:
         self._received: Dict[str, jnp.ndarray] = {}
 
     # -- put path ----------------------------------------------------------
+    def add_sums(self, sums: Dict[str, np.ndarray], n_steps: int) -> None:
+        """Fold per-step field SUMS (already summed over `n_steps` steps,
+        keyed by SENT_FIELDS name) into the running window accumulators.
+        The single owner of the window-mean bookkeeping — both the per-step
+        path (accumulate) and the fused-chunk path (Simulator.step_chunk)
+        route through it, so any future averaging/sign change lives here."""
+        for name, v in sums.items():
+            self._accum[name] = self._accum.get(name, 0.0) + np.asarray(
+                v, np.float64
+            )
+        self._count += n_steps
+
     def accumulate(self, state, diag: Dict):
         """Per-step running means (reference: updateMeans for M_cpl_out)."""
+        sums = {}
         for name, (src, field) in SENT_FIELDS.items():
             if src == "state":
                 arr = getattr(state, field, None)
@@ -81,9 +98,8 @@ class Coupler:
                 arr = diag.get(field)
             if arr is None:
                 continue
-            a = np.asarray(arr, np.float64)
-            self._accum[name] = self._accum.get(name, 0.0) + a
-        self._count += 1
+            sums[name] = np.asarray(arr, np.float64)
+        self.add_sums(sums, 1)
 
     def maybe_exchange(self, t_days: float) -> bool:
         """Put the averaged fields + read any provided input file when a

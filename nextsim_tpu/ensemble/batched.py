@@ -62,8 +62,8 @@ class BatchedEnsemble:
                 )
             if n_members % mesh.devices.shape[0]:
                 raise ValueError(
-                    f"n_members={n_members} must divide the mesh's member "
-                    f"axis ({mesh.devices.shape[0]} devices)"
+                    f"the mesh's member axis ({mesh.devices.shape[0]} "
+                    f"devices) must divide n_members={n_members}"
                 )
         self.sim = Simulator(cfg)  # template: control provider, step fn, grid
         if mesh is not None and tuple(mesh.axis_names) == ("member", "y", "x"):

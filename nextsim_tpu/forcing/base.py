@@ -67,6 +67,12 @@ class Forcing:
     swh: Optional[Any] = None  # significant wave height [m]
     mwp: Optional[Any] = None  # peak/mean wave period [s]
     mwd: Optional[Any] = None  # wave-from direction [deg]
+    # fraction of shortwave absorbed in the ocean mixed layer, received from
+    # a coupled ocean model (reference: M_qsrml / I_FrcQsr, fe.cpp:7781,
+    # 11196; used in the open-water heat budget at fe.cpp:5154). None (the
+    # uncoupled default) means the whole Qsw warms the slab, matching the
+    # reference's non-OASIS branch.
+    qsrml: Optional[Any] = None
 
     def replace(self, **kw) -> "Forcing":
         return dataclasses.replace(self, **kw)

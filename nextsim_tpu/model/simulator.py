@@ -555,7 +555,7 @@ class Simulator:
             for i in range(k)
         ]
         if self.wim is not None:
-            if (self.pcpt // k) % max(1, self.wim_couplingfreq // k) == 0:
+            if self._wim_due():
                 self._wim_exchange(forcings[0])
             forcings = [self._apply_wim_forcing(f) for f in forcings]
         if self.coupler is not None:
@@ -655,11 +655,7 @@ class Simulator:
                 kk: v for kk, v in last_ex.items()
                 if not kk.startswith("__cpl_")
             }
-            for name, v in cpl.items():
-                self.coupler._accum[name] = (
-                    self.coupler._accum.get(name, 0.0) + np.asarray(v, np.float64)
-                )
-            self.coupler._count += k
+            self.coupler.add_sums(cpl, k)
             self.coupler.maybe_exchange(self.current_time)  # pcpt already += k
 
         if self.moorings is not None and acc:
@@ -739,6 +735,21 @@ class Simulator:
             "is_0801": mk(md == "0801" and midnight),
             "is_myi_reset_date": mk(md == reset_md and midnight),
         }
+
+    def _wim_due(self) -> bool:
+        """WIM coupling cadence, shared by the per-step and fused-chunk
+        paths (reference: exact-step WIM coupling, nextwim.couplingfreq;
+        modules/wim/src/wimdiscr.cpp:822-1210). Boundary-crossing on pcpt:
+        with the run() clamp forcing k to divide couplingfreq this fires at
+        exactly steps 0, f, 2f, ... on both paths; a direct step_chunk
+        caller with a non-dividing k still never exchanges MORE often than
+        configured (the old modulo-of-quotients test aliased
+        couplingfreq=10, k=4 to every 8 steps)."""
+        last = getattr(self, "_wim_last_pcpt", None)
+        if last is not None and self.pcpt - last < self.wim_couplingfreq:
+            return False
+        self._wim_last_pcpt = self.pcpt
+        return True
 
     def _wim_exchange(self, forcing=None) -> None:
         """Run the WIM over the next coupling window and harvest wave stress
@@ -895,7 +906,7 @@ class Simulator:
                 o = self._nesting_outer
                 if "sst" in o and "sss" in o:
                     forcing = forcing.replace(ocean_temp=o["sst"], ocean_salt=o["sss"])
-        if self.wim is not None and self.pcpt % self.wim_couplingfreq == 0:
+        if self.wim is not None and self._wim_due():
             self.timer.tick("wim")
             self._wim_exchange(forcing)
             self.timer.tock("wim")
@@ -1160,36 +1171,58 @@ class Simulator:
         if self.maxiteration > 0:
             n_steps = min(n_steps, self.maxiteration)
         k = self._chunk_k
-        if k > 1 and (self.coupler is not None or self.drifters):
-            # joint clamp: puts happen at chunk boundaries, so k must divide
-            # the coupler window (reference cadence: coupler.timestep,
-            # fe.cpp:8226-8265) AND stay at or under the finest drifter
-            # cadence (moves happen at chunk boundaries) — the largest k
-            # satisfying both, found by descending together (a sequential
-            # pair of clamps could pick a k that re-breaks the first rule)
-            win_steps = (
-                max(1, round(self.coupler.dt_cpl / self.dt))
-                if self.coupler is not None else None
-            )
-            cad_steps = None
+        if k > 1:
+            # Joint clamp: every exact-cadence event fires at chunk
+            # boundaries, so k must DIVIDE each cadence in steps — a k that
+            # merely stays under a cadence still stretches it (cadence 3
+            # with k=2 samples every 4 steps; ADVICE r4). One gcd collects
+            # them all: the coupler put window (reference: coupler.timestep,
+            # fe.cpp:8226-8265), the finest drifter move/record cadence
+            # (checkMoveDrifters timing, fe.cpp:8375-8403), the WIM coupling
+            # frequency (nextwim.couplingfreq; wimdiscr.cpp:822-1210), the
+            # moorings output window and the snapshot interval (exact output
+            # cadences, gridoutput.cpp + fe.cpp:8316-8450). Interval
+            # restarts stay boundary-crossing (operational checkpoints, not
+            # timestamped scientific records — a late restart is still an
+            # exact state).
+            import math as _math
+
+            step_days = self.dt * dates.DAYS_IN_SEC
+            cadences = {}
+            if self.coupler is not None:
+                cadences["coupler window"] = max(
+                    1, round(self.coupler.dt_cpl / self.dt)
+                )
             if self.drifters:
                 cad_days = min(d.output_dt_days for d in self.drifters)
-                cad_steps = max(
-                    1, round(cad_days / (self.dt * dates.DAYS_IN_SEC))
+                cadences["finest drifter cadence"] = max(
+                    1, round(cad_days / step_days)
                 )
-            k_new = k
-            while (win_steps is not None and win_steps % k_new) or (
-                cad_steps is not None and k_new > cad_steps
-            ):
-                k_new -= 1
-            if k_new != k:
-                self.log.info(
-                    f"tpu.steps_per_call clamped {k}->{k_new}: must divide "
-                    f"the coupler window ({win_steps} steps) and stay at or "
-                    f"under the finest drifter cadence ({cad_steps} steps)"
+            if self.wim is not None:
+                cadences["WIM coupling frequency"] = self.wim_couplingfreq
+            if self.moorings is not None:
+                cadences["moorings output window"] = max(
+                    1, round(self.moorings.output_dt_days / step_days)
                 )
-                k = self._chunk_k = k_new
-                self._chunk_fn = None
+            if self.export_interval_steps:
+                cadences["snapshot interval"] = self.export_interval_steps
+            if cadences:
+                g = 0
+                for v in cadences.values():
+                    g = _math.gcd(g, v)
+                k_new = min(k, g)
+                while g % k_new:
+                    k_new -= 1
+                if k_new != k:
+                    detail = ", ".join(
+                        f"{name}={v} steps" for name, v in cadences.items()
+                    )
+                    self.log.info(
+                        f"tpu.steps_per_call clamped {k}->{k_new}: k must "
+                        f"divide every exact cadence ({detail})"
+                    )
+                    k = self._chunk_k = k_new
+                    self._chunk_fn = None
         self.log.info(f"run: {n_steps} steps of {self.dt}s" + (f" ({k}/call)" if k > 1 else ""))
         ptime = max(1, n_steps * self.cfg["debugging.ptime_percent"] // 100)
         profile_dir = self.cfg["debugging.profile_dir"]

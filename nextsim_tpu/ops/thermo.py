@@ -140,8 +140,19 @@ def ow_bulk_fluxes(p: ThermoParams, state, forcing, wspeed, sphuma):
     qsw = -forcing.qsw_in * (1.0 - p.ocean_albedo)
     qlw_out = phys.eps * phys.sigma_sb * (sst + phys.tfrwK) ** 4
     qlw = qlw_out - incoming_longwave(p, forcing, state.tice[0])
-    qow = qlw + qsh + qlh + qsw
+    qow = qlw + qsh + qlh + _qsw_into_slab(forcing, qsw)
     return dict(qow=qow, qlw=qlw, qsw=qsw, qlh=qlh, qsh=qsh, evap=evap, tau_ow=tau_ow)
+
+
+def _qsw_into_slab(forcing, qsw):
+    """Shortwave entering the slab-ocean heat budget. Coupled runs receive
+    the fraction absorbed in the mixed layer from the ocean model and the
+    slab only sees that share — the `qsw` diagnostic stays the TOTAL flux
+    delivered to the ocean (reference: Qow[i] += Qsw[i]*M_qsrml[i],
+    fe.cpp:5148-5156; received as I_FrcQsr, fe.cpp:7781)."""
+    if forcing.qsrml is None:
+        return qsw
+    return qsw * forcing.qsrml
 
 
 # ---------------------------------------------------------------------------
@@ -1312,5 +1323,5 @@ def ow_bulk_fluxes_aerobulk(
     qsw = -forcing.qsw_in * (1.0 - p.ocean_albedo)
     qlw_out = phys.eps * phys.sigma_sb * sstK**4
     qlw = qlw_out - incoming_longwave(p, forcing, state.tice[0])
-    qow = qlw + qsh + qlh + qsw
+    qow = qlw + qsh + qlh + _qsw_into_slab(forcing, qsw)
     return dict(qow=qow, qlw=qlw, qsw=qsw, qlh=qlh, qsh=qsh, evap=evap, tau_ow=tau_ow)

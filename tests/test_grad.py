@@ -321,8 +321,70 @@ def test_grad_through_wim():
         _, _, diag = w._run_scan(
             w.sdf, ice, medium, steady, jnp.asarray(dt_wim, w.dtype), n_steps
         )
-        return jnp.mean(diag["hs"]) + 1e3 * jnp.mean(jnp.abs(diag["tau_x"]))
+        return jnp.mean(diag["hs"]) + 1e3 * jnp.mean(diag["tau_x"])
 
     g = np.asarray(jax.jit(jax.grad(loss))(vol0))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0
+
+    # directional FD check of the WIM adjoint (VERDICT r4 #7). Before the
+    # frozen-limiter WENO adjoint (wim.py face_flux) this was off by 5e7x:
+    # the limiter-ratio linearization amplified the reverse pass through
+    # its 1/(|dg|+1e-12) factors.
+    lj = jax.jit(loss)
+    rng = np.random.default_rng(2)
+    mask = np.asarray(w.ice["mask"])
+    d = rng.standard_normal(mask.shape).astype(np.float32) * mask
+    # smooth it so the perturbation is resolved (breakage thresholds are
+    # piecewise; a smooth field keeps FD in the differentiable regime)
+    d = jnp.asarray(0.25 * (np.roll(d, 1, 0) + np.roll(d, -1, 0)
+                            + np.roll(d, 1, 1) + np.roll(d, -1, 1)))
+    eps = 1e-2
+    fd = (float(lj(vol0 + eps * d)) - float(lj(vol0 - eps * d))) / (2 * eps)
+    ad = float(jnp.sum(jnp.asarray(g) * d))
+    assert fd != 0.0
+    np.testing.assert_allclose(ad, fd, rtol=0.1)
+
+
+def test_grad_wim_adversarial_zeros():
+    """WIM gradients stay finite at the reverse-mode hazard points
+    (VERDICT r4 #7): exactly ice-free columns, zero incident waves over
+    part of the domain, zero nfloes — the sqrt/division lanes that NaN
+    under AD when unguarded."""
+    from nextsim_tpu.grid.grid import Grid
+    from nextsim_tpu.wim.wim import Wim, WimParams, update_wave_medium
+
+    p = WimParams(nwavefreq=5, nwavedirn=8, steady=False)
+    grid = Grid.square(nx=32, ny=8, dx=4e3)
+    w = Wim(p, grid)
+    w.ideal_ice_fields(0.7)
+    w.ideal_wave_fields(0.8)
+    # poke the hazard lanes: a fully ice-free strip inside the pack and a
+    # dead-calm strip in the wave zone
+    ice = dict(w.ice)
+    conc = np.asarray(ice["conc"]).copy()
+    conc[:, 20:24] = 0.0
+    mask = (conc >= p.cice_min).astype(np.float32)
+    vol = np.asarray(ice["vol"]).copy() * mask
+    sdf = np.asarray(w.sdf).copy()
+    sdf[..., 3:5, :] = 0.0  # zero spectrum rows
+    w.sdf = jnp.asarray(sdf)
+    steady = (jnp.zeros_like(w.sdf), jnp.zeros(w.shape, w.dtype))
+
+    def loss(vol_in):
+        ice2 = dict(ice)
+        ice2["conc"] = jnp.asarray(conc)
+        ice2["mask"] = jnp.asarray(mask)
+        ice2["thick"] = jnp.where(
+            jnp.asarray(mask) > 0.5,
+            vol_in / jnp.maximum(jnp.asarray(conc), 1e-12), 0.0,
+        )
+        ice2["vol"] = vol_in
+        medium = update_wave_medium(ice2["thick"], ice2["mask"], w.sg, p)
+        _, _, diag = w._run_scan(
+            w.sdf, ice2, medium, steady, jnp.asarray(w.dt_cfl, w.dtype), 6
+        )
+        return jnp.mean(diag["hs"]) + 1e3 * jnp.mean(jnp.abs(diag["tau_x"]))
+
+    g = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(vol)))
+    assert np.isfinite(g).all()

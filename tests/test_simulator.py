@@ -355,9 +355,10 @@ def test_chunk_clamped_to_drifter_cadence(tmp_path):
 
 
 def test_chunk_clamp_joint_coupler_and_drifters(tmp_path):
-    """The k clamp must satisfy BOTH constraints at once: dividing the
-    coupler window and staying under the drifter cadence (a sequential pair
-    of clamps could pick a k that re-breaks the divisibility rule)."""
+    """The k clamp must satisfy EVERY cadence at once, by divisibility: a k
+    that merely stays under the drifter cadence still stretches it (moves
+    fire at chunk boundaries), so k must divide gcd(all cadences)
+    (ADVICE r4)."""
     sim = Simulator(toy_config(**{
         "grid.nx": 32, "grid.ny": 32,
         "simul.duration": 0.0,
@@ -370,8 +371,85 @@ def test_chunk_clamp_joint_coupler_and_drifters(tmp_path):
         "output.exporter_path": str(tmp_path),
     }))
     sim.run()
-    # largest k <= 5 (drifter cadence) that divides 12 (coupler window)
-    assert sim._chunk_k == 4
+    # drifter cadence 5 steps, coupler window 12 steps: gcd = 1 — only k=1
+    # keeps both cadences exact (k=4 would sample the drifters every 8)
+    assert sim._chunk_k == 1
+
+
+def test_chunk_clamp_drifter_divisibility(tmp_path):
+    """k must DIVIDE the drifter cadence, not just stay at or under it: a
+    3-step cadence with k=2 would sample drifters every 4 steps, diverging
+    from the reference's checkMoveDrifters timing (ADVICE r4)."""
+    sim = Simulator(toy_config(**{
+        "grid.nx": 32, "grid.ny": 32,
+        "simul.duration": 0.0,
+        "simul.timestep": 200,
+        "tpu.steps_per_call": 2,
+        "drifters.use_equally_spaced_drifters": True,
+        # 3 steps of 200 s
+        "drifters.equally_spaced_drifters_output_time_step": 600.0 / 86400.0,
+        "output.exporter_path": str(tmp_path),
+    }))
+    sim.run()
+    assert sim._chunk_k == 1
+
+
+def test_chunk_clamp_wim_and_moorings(tmp_path):
+    """nextwim.couplingfreq and the moorings output window join the joint
+    clamp: couplingfreq=10 with k=4 used to alias the WIM exchange to every
+    8 steps (VERDICT r4 weak #1), and a 6-step moorings window with k=4
+    silently stretched to 8-step records (weak #2)."""
+    sim = Simulator(toy_config(**{
+        "grid.nx": 32, "grid.ny": 32,
+        "simul.duration": 0.0,
+        "simul.timestep": 200,
+        "tpu.steps_per_call": 4,
+        "nextwim.use_wim": True,
+        "nextwim.couplingfreq": 10,
+        "moorings.use_moorings": True,
+        "moorings.output_timestep": 6,
+        "moorings.output_time_step_units": "time_steps",
+        "moorings.variables": ["conc"],
+        "output.exporter_path": str(tmp_path),
+    }))
+    sim.run()
+    # gcd(10, 6) = 2: records at exactly 6, 12, ...; exchanges at 10, 20, ...
+    assert sim._chunk_k == 2
+
+
+def test_moorings_record_times_exact_under_chunking(tmp_path):
+    """Moorings record timestamps under fused stepping land at exactly the
+    configured window (VERDICT r4 weak #2: a 6-step window with k=4 used to
+    produce 8-step records with no warning). Reference: exact mooring
+    cadence, model/gridoutput.cpp output intervals + fe.cpp:8316-8450."""
+    from scipy.io import netcdf_file
+
+    dt = 200.0
+    sim = Simulator(toy_config(**{
+        "grid.nx": 32, "grid.ny": 32,
+        "simul.timestep": dt,
+        "simul.duration": 12 * dt / 86400.0,
+        "setup.dynamics-type": "free_drift",
+        "tpu.steps_per_call": 4,
+        "moorings.use_moorings": True,
+        "moorings.output_timestep": 6,
+        "moorings.output_time_step_units": "time_steps",
+        "moorings.variables": ["conc"],
+        "output.exporter_path": str(tmp_path),
+        "output.async_io": False,
+    }))
+    sim.run()
+    # clamped: 4 does not divide the 6-step window; 3 is the largest k that does
+    assert sim._chunk_k == 3
+    import glob
+
+    files = glob.glob(str(tmp_path / "Moorings*.nc"))
+    assert len(files) == 1
+    with netcdf_file(files[0], "r") as nc:
+        t = nc.variables["time"][:].copy()
+    t0 = sim.time_init
+    steps = np.round((t - t0) * 86400.0 / dt).astype(int)
+    assert list(steps) == [6, 12], steps
 
 
 def test_final_partial_check_window_flushes(tmp_path):
