@@ -7,11 +7,21 @@ GridOutput instance (M_cpl_out), fields are time-averaged over
 `coupler.timestep` and put/get via the coupler library.
 
 Here the same exchange surface is file-based ("OASIS stub with prescribed
-ocean exchange fields", BASELINE.json config 4): sent fields are averaged on
-the model grid and written as `cpl_out_<YYYYMMDDTHHMMSSZ>.nc` on the
-exchange grid; received fields are read from `cpl_in_<...>.nc` when present
-and override the ocean/wave forcing for the next window. A real
-OASIS/socket transport can replace the file IO behind the same interface.
+ocean exchange fields", BASELINE.json config 4): sent fields are averaged,
+remapped and written as `cpl_out_<YYYYMMDDTHHMMSSZ>.nc` on the exchange
+grid; received fields are read from `cpl_in_<...>.nc` when present and
+override the ocean/wave forcing for the next window. A real OASIS/socket
+transport can replace the file IO behind the same interface.
+
+The exchange GRID follows the reference: when `coupler.exchange_grid_file`
+names an existing NetCDF with 2-D `plat`/`plon` (and optionally the grid
+rotation `ptheta`), puts are conservatively remapped onto that grid with
+vector pairs rotated to its orientation, and receives arriving on it are
+interpolated back to the model grid with the inverse rotation (reference:
+GridOutput::Grid(exchange_grid_file, "plat", "plon", "ptheta",
+interpMethod::conservative) at fe.cpp:7650-7676; rotateVectors
+gridoutput.cpp:578-624). When the file is absent the exchange stays on the
+raw model grid (the stub's original mode).
 
 Sent fields (reference: go.hpp:223-233 + setupCplFields):
   taux, tauy        ice-ocean stress        [N/m2]
@@ -62,6 +72,14 @@ RECEIVED_TO_FORCING = {
 
 NODE_TARGETS = {"ocean_u", "ocean_v", "ssh", "tau_wi_u", "tau_wi_v"}
 
+#: sent vector pairs rotated to the exchange-grid orientation (reference:
+#: Vectorial_Variable tau, fe.cpp:7648; rotateVectors gridoutput.cpp:578-624)
+SENT_VECTOR_PAIRS = (("taux", "tauy"),)
+
+#: received vector pairs rotated back from the exchange-grid orientation to
+#: model x/y (the ExternalData transformData role for ocean_cpl/wave_cpl)
+RECEIVED_VECTOR_PAIRS = (("uocean", "vocean"), ("tauwix", "tauwiy"))
+
 
 class Coupler:
     def __init__(self, cfg, grid, time_init: float, directory: Optional[str] = None):
@@ -74,6 +92,59 @@ class Coupler:
         self._count = 0
         self._last_put = time_init
         self._received: Dict[str, jnp.ndarray] = {}
+        self.exchange_grid = None
+        gf = cfg["coupler.exchange_grid_file"]
+        if gf and os.path.exists(gf):
+            self._init_exchange_grid(gf)
+
+    def _init_exchange_grid(self, path: str) -> None:
+        """Build the coupler-grid remap machinery (reference: M_cpl_out
+        GridOutput on the exchange_grid_file grid, fe.cpp:7650-7698):
+        conservative model->coupler binning for cell fields (the
+        interpMethod::conservative of the Grid ctor), point sampling for
+        node fields, Delaunay coupler->model interpolation for receives,
+        and the orientation angle for vector rotation."""
+        from nextsim_tpu.forcing.netcdf_io import NCFile
+
+        with NCFile(path) as nc:
+            plat = np.asarray(nc.variables["plat"][:], np.float64)
+            plon = np.asarray(nc.variables["plon"][:], np.float64)
+            ptheta = (
+                np.asarray(nc.variables["ptheta"][:], np.float64)
+                if "ptheta" in nc.variables else None
+            )
+        from nextsim_tpu.forcing.datasets import _CurvilinearInterp
+        from nextsim_tpu.output.moorings import _BinnedConservative, _PointSampler
+
+        g = self.grid
+        xq, yq = g.projection.forward(plat, plon)
+        xq, yq = np.asarray(xq), np.asarray(yq)
+        point = _PointSampler(
+            g.x0 + 0.5 * g.dx, g.y0 + 0.5 * g.dx, g.dx, g.shape, xq, yq
+        )
+        cy, cx = np.meshgrid(
+            g.y0 + (np.arange(g.ny) + 0.5) * g.dx,
+            g.x0 + (np.arange(g.nx) + 0.5) * g.dx,
+            indexing="ij",
+        )
+        cell_lat, cell_lon = g.cell_latlon()
+        # rotation angle at the coupler points: projection rotation minus
+        # the grid angle (ptheta, radians) when provided, else minus the
+        # point longitude -> east/north (rotateVectors' false/true-easting
+        # branches, gridoutput.cpp:596-615)
+        rot0 = np.deg2rad(g.projection.lon0)
+        ang = rot0 - (ptheta if ptheta is not None else np.deg2rad(plon))
+        self.exchange_grid = dict(
+            lat=plat, lon=plon, shape=plat.shape,
+            cell_interp=_BinnedConservative(cx, cy, xq, yq, point),
+            node_interp=_PointSampler(
+                g.x0, g.y0, g.dx, g.node_shape, xq, yq
+            ),
+            back_interp=_CurvilinearInterp(
+                plat, plon, g.projection, cell_lat, cell_lon
+            ),
+            cos=np.cos(ang), sin=np.sin(ang),
+        )
 
     # -- put path ----------------------------------------------------------
     def add_sums(self, sums: Dict[str, np.ndarray], n_steps: int) -> None:
@@ -124,17 +195,43 @@ class Coupler:
             return  # accumulate() inputs were gathered; process 0 puts
         path = os.path.join(self.directory, f"cpl_out_{tag}.nc")
         ny, nx = self.grid.shape
-        with netcdf_file(path, "w", version=2) as nc:
-            nc.createDimension("y", ny)
-            nc.createDimension("x", nx)
-            for name, acc in self._accum.items():
-                mean = acc / self._count
+        eg = self.exchange_grid
+        fields: Dict[str, np.ndarray] = {}
+        for name, acc in self._accum.items():
+            mean = acc / self._count
+            if eg is not None:
+                # conservative remap onto the exchange grid (reference:
+                # updateGridMean with interpMethod::conservative for
+                # M_cpl_out, fe.cpp:7652, gridoutput.cpp:387-450)
+                if mean.shape == (ny, nx):
+                    fields[name] = eg["cell_interp"](mean)
+                else:
+                    fields[name] = eg["node_interp"](mean)
+            else:
                 if mean.shape != (ny, nx):  # node field -> cell mean
                     mean = 0.25 * (
                         mean[:-1, :-1] + mean[:-1, 1:] + mean[1:, :-1] + mean[1:, 1:]
                     )
+                fields[name] = mean
+        if eg is not None:
+            # rotate sent vector pairs to the exchange-grid orientation
+            # (reference: rotateVectors, gridoutput.cpp:596-624)
+            for ukey, vkey in SENT_VECTOR_PAIRS:
+                if ukey in fields and vkey in fields:
+                    u, v = fields[ukey], fields[vkey]
+                    fields[ukey] = eg["cos"] * u - eg["sin"] * v
+                    fields[vkey] = eg["sin"] * u + eg["cos"] * v
+        shape = eg["shape"] if eg is not None else (ny, nx)
+        with netcdf_file(path, "w", version=2) as nc:
+            nc.createDimension("y", shape[0])
+            nc.createDimension("x", shape[1])
+            if eg is not None:
+                for nm, arr in (("plat", eg["lat"]), ("plon", eg["lon"])):
+                    v = nc.createVariable(nm, "f8", ("y", "x"))
+                    v[:] = arr
+            for name, arr in fields.items():
                 v = nc.createVariable(name, "f4", ("y", "x"))
-                v[:] = mean.astype(np.float32)
+                v[:] = arr.astype(np.float32)
 
     def _read_get(self, tag: str):
         path = os.path.join(self.directory, f"cpl_in_{tag}.nc")
@@ -145,11 +242,31 @@ class Coupler:
                 return
         from nextsim_tpu.forcing.netcdf_io import NCFile
 
+        raw: Dict[str, np.ndarray] = {}
         with NCFile(path) as nc:
-            for name, target in RECEIVED_TO_FORCING.items():
+            for name in RECEIVED_TO_FORCING:
                 if name in nc.variables:
-                    arr = np.asarray(nc.variables[name][:], np.float32)
-                    self._received[target] = jnp.asarray(np.squeeze(arr))
+                    raw[name] = np.squeeze(
+                        np.asarray(nc.variables[name][:], np.float32)
+                    )
+        eg = self.exchange_grid
+        if eg is not None:
+            on_eg = {k: v.shape == eg["shape"] for k, v in raw.items()}
+            # vector pairs arriving on the exchange grid: rotate back to
+            # model x/y at the source points (inverse of the send rotation)
+            # before interpolating the components
+            for ukey, vkey in RECEIVED_VECTOR_PAIRS:
+                if on_eg.get(ukey) and on_eg.get(vkey):
+                    u, v = raw[ukey], raw[vkey]
+                    raw[ukey] = eg["cos"] * u + eg["sin"] * v
+                    raw[vkey] = -eg["sin"] * u + eg["cos"] * v
+            for name, v in raw.items():
+                if on_eg[name]:
+                    # coupler grid -> model cells (the ExternalData
+                    # setElementWeights role, fe.cpp:7688-7697)
+                    raw[name] = eg["back_interp"](v).astype(np.float32)
+        for name, v in raw.items():
+            self._received[RECEIVED_TO_FORCING[name]] = jnp.asarray(v)
 
     # -- get path ----------------------------------------------------------
     def apply_received(self, forcing):
