@@ -19,7 +19,9 @@ wind option), advanced for all members in the same device program.
 
 from __future__ import annotations
 
+import dataclasses
 import math
+import os
 from typing import Dict, Optional
 
 import jax
@@ -215,10 +217,175 @@ class BatchedEnsemble:
         )
         self.states, _diag, _viol = self._vstep(self.states, forcing, tinfo)
         self.pcpt += 1
+        if self.sim.moorings is not None:
+            self._maybe_output_stats()
 
     def run(self, n_steps: int) -> None:
         for _ in range(n_steps):
             self.step()
+
+    # -- outputs ----------------------------------------------------------
+    @property
+    def current_time(self) -> float:
+        from nextsim_tpu.utils import dates
+
+        return self.sim.time_init + self.pcpt * self.sim.dt * dates.DAYS_IN_SEC
+
+    def _stat_fields(self):
+        """Per-variable ensemble mean and spread on the model grid, keyed
+        ``<nc_name>_mean`` / ``<nc_name>_std`` — the ensemble-statistics
+        observability channel (the reference runs full per-member jobs and
+        computes statistics offline; scripts/ensemble/run_ensemble.sh)."""
+        from nextsim_tpu.output.moorings import MOORING_VARIABLES, VECTOR_VARIABLES
+
+        states = self._logical(self.states)
+        out = {}
+
+        def add(nc_name, a):
+            out[nc_name + "_mean"] = jnp.mean(a, axis=0)
+            out[nc_name + "_std"] = jnp.std(a, axis=0)
+
+        for name in self.sim.moorings.names:
+            if name in VECTOR_VARIABLES:
+                (unm, *_, uf), (vnm, *_, vf) = VECTOR_VARIABLES[name]
+                add(unm, getattr(states, uf))
+                add(vnm, getattr(states, vf))
+                continue
+            mv = MOORING_VARIABLES.get(name)
+            if mv is None or mv.source != "state":
+                continue  # diag/forcing channels are per-member quantities
+            a = getattr(states, mv.field, None)
+            if a is None:
+                continue
+            if mv.index is not None:
+                a = a[:, mv.index]  # component axis sits after the member axis
+            add(mv.nc_name, a)
+        return out
+
+    def _maybe_output_stats(self) -> None:
+        """Write an ensemble-statistics moorings record when the configured
+        moorings window closes (snapshot statistics at the output instants;
+        rides the same Moorings grid/remap/rollover/append machinery)."""
+        moor = self.sim.moorings
+        t = self.current_time
+        if t - moor._last_output_time < moor.output_dt_days - 1e-9:
+            return
+        stats = self._stat_fields()
+        if not stats:
+            return
+        moor._accum = stats
+        moor._count = 1
+        moor._last_output_time = t
+        moor._write_record(t)
+
+    def write_restart(self, name: str = "batched") -> str:
+        """ONE sharded checkpoint of the whole ensemble via orbax: the
+        member axis is just another sharded dim, so every device writes its
+        members' shards in parallel (no gather). The perturbation chain
+        (keys + AR(1) carry) is saved too, so a resumed ensemble continues
+        the exact same forcing-noise stream."""
+        import json
+
+        import orbax.checkpoint as ocp
+
+        from nextsim_tpu.parallel.multihost import is_writer
+
+        path = os.path.join(self.sim.cfg["output.exporter_path"], "restart")
+        os.makedirs(path, exist_ok=True)
+        fname = os.path.abspath(os.path.join(path, f"restart_{name}.orbax"))
+        arrays = {
+            f"state_{f.name}": getattr(self.states, f.name)
+            for f in dataclasses.fields(self.states)
+            if getattr(self.states, f.name) is not None
+        }
+        arrays["keys"] = self.keys
+        if self._ran is not None:
+            arrays["ran"] = self._ran
+        ck = ocp.StandardCheckpointer()
+        ck.save(fname, arrays, force=True)
+        ck.wait_until_finished()
+        if is_writer():
+            sidecar = {
+                "pcpt": self.pcpt,
+                "n_members": self.n,
+                "time_init": self.sim.time_init,
+                "fields": {
+                    k: [list(np.shape(v)), str(np.asarray(v).dtype)
+                        if not hasattr(v, "dtype") else str(v.dtype)]
+                    for k, v in arrays.items()
+                },
+            }
+            with open(fname + ".json", "w") as f:
+                json.dump(sidecar, f, indent=1)
+        return fname
+
+    def read_restart(self, name: str = "batched") -> None:
+        """Restore a batched-ensemble checkpoint written by write_restart
+        (topology-agnostic: numpy zero templates from the sidecar spec)."""
+        import json
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(self.sim.cfg["output.exporter_path"], "restart")
+        fname = os.path.abspath(os.path.join(path, f"restart_{name}.orbax"))
+        with open(fname + ".json") as f:
+            sidecar = json.load(f)
+        target = {
+            k: np.zeros(tuple(shape), np.dtype(dtype))
+            for k, (shape, dtype) in sidecar["fields"].items()
+        }
+        data = ocp.StandardCheckpointer().restore(fname, target)
+        kw = {}
+        for f in dataclasses.fields(self.states):
+            key = f"state_{f.name}"
+            cur = getattr(self.states, f.name)
+            if key in data:
+                kw[f.name] = self._place(
+                    jnp.asarray(data[key], cur.dtype if cur is not None else None)
+                )
+            else:
+                kw[f.name] = None
+        self.states = type(self.states)(**kw)
+        self.keys = self._place(jnp.asarray(data["keys"], jnp.uint32))
+        self._ran = (
+            self._place(jnp.asarray(data["ran"])) if "ran" in data else None
+        )
+        self.pcpt = int(sidecar["pcpt"])
+
+    def export_member_restarts(self, name: str = "final") -> list:
+        """Per-member standard restarts: member k's state is written as
+        ``mem_<k>/restart/restart_<name>.npz`` in the ensemble output tree,
+        loadable by a plain Simulator (restart.start_from_restart=true) —
+        so the per-process driver (ensemble/run_ensemble.py) can resume a
+        forecast cycle that was advanced batched (the per-member outputs of
+        the reference's scripts/ensemble/run_ensemble.sh)."""
+        import json
+
+        base = self.sim.cfg["output.exporter_path"]
+        meta = {
+            "pcpt": self.pcpt,
+            "time_init": self.sim.time_init,
+            "current_time": self.current_time,
+            "grid": {
+                "nx": self.sim.grid.nx, "ny": self.sim.grid.ny,
+                "dx": self.sim.grid.dx, "x0": self.sim.grid.x0,
+                "y0": self.sim.grid.y0,
+            },
+        }
+        written = []
+        for k in range(self.n):
+            st = self.member_state(k)
+            arrays = {
+                f.name: np.asarray(getattr(st, f.name))
+                for f in dataclasses.fields(st)
+                if getattr(st, f.name) is not None
+            }
+            path = os.path.join(base, f"mem_{k}", "restart")
+            os.makedirs(path, exist_ok=True)
+            fname = os.path.join(path, f"restart_{name}.npz")
+            np.savez_compressed(fname, __meta__=json.dumps(meta), **arrays)
+            written.append(fname)
+        return written
 
     # -- analysis ---------------------------------------------------------
     def member_state(self, k: int):
