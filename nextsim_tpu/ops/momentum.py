@@ -388,12 +388,25 @@ def explicit_solve(
         vt_u, vt_v, state.ut_u, state.ut_v,
         state.sigma[0], state.sigma[1], state.sigma[2], state.damage,
     )
+    # open-water smoother masks (reference: fe.cpp:10576-10611), computed
+    # up front so the hand-scheduled path can run the smoother inside its
+    # layout-resident region. The weight denominator is loop-invariant, and
+    # u,v are identically zero on masked nodes (zeroed before sub-stepping;
+    # the solve/ow masks only touch valid nodes), so the per-sweep u*node_ok
+    # product is a no-op — both hoisted out of the 50 sweeps.
+    ow = (node_mask > 0.5) & (node_dirichlet < 0.5) & jnp.logical_not(has_mass)
+    mp = jnp.pad(node_mask, 1)
+    nbr_rden = 1.0 / jnp.maximum(
+        mp[:-2, 1:-1] + mp[2:, 1:-1] + mp[1:-1, :-2] + mp[1:-1, 2:], 1.0
+    )
+
+    smoothed = False
     if partition_mode == "shard_map" and mesh is not None:
         from nextsim_tpu.parallel import seam
 
-        carry = seam.substep_loop(
+        carry, smoothed = seam.dynamics_loop(
             mesh, p, dyn_type, dte, dt, dx, consts, carry, steps,
-            halo_depth=halo_depth,
+            halo_depth=halo_depth, smoother=(ow, nbr_rden, p.nit_ow),
         )
     else:
         body = _build_substep(p, dyn_type, dte, dt, dx, consts)
@@ -403,24 +416,17 @@ def explicit_solve(
     vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
     sigma = jnp.stack([sxx, syy, sxy])
 
-    if dyn_type == "mevp":
+    if dyn_type == "mevp" and not smoothed:
+        # when the hand-scheduled loop smoothed in-region it also already
+        # accumulated the mEVP displacement from the pre-smoother velocity
         ut_u = ut_u + dt * vt_u
         ut_v = ut_v + dt * vt_v
 
     # =====================================================================
-    # Open-water velocity smoother (reference: fe.cpp:10576-10611)
+    # Open-water velocity smoother (reference: fe.cpp:10576-10611) — on the
+    # hand-scheduled path it already ran inside dynamics_loop's resident
+    # region (smoothed=True)
     # =====================================================================
-    ow = (node_mask > 0.5) & (node_dirichlet < 0.5) & jnp.logical_not(has_mass)
-
-    # Specialised neighbor_mean_nodes: the weight denominator is
-    # loop-invariant, and u,v are identically zero on masked nodes (zeroed
-    # before sub-stepping; the solve/ow masks only touch valid nodes), so the
-    # per-sweep u*node_ok product is a no-op — hoist both out of the 50 sweeps.
-    mp = jnp.pad(node_mask, 1)
-    nbr_rden = 1.0 / jnp.maximum(
-        mp[:-2, 1:-1] + mp[2:, 1:-1] + mp[1:-1, :-2] + mp[1:-1, 2:], 1.0
-    )
-
     def smooth(_, uv):
         u, v = uv
         up = jnp.pad(u, 1)
@@ -429,7 +435,8 @@ def explicit_solve(
         v_bar = (vp[:-2, 1:-1] + vp[2:, 1:-1] + vp[1:-1, :-2] + vp[1:-1, 2:]) * nbr_rden
         return (jnp.where(ow, u_bar, u), jnp.where(ow, v_bar, v))
 
-    vt_u, vt_v = lax.fori_loop(0, p.nit_ow, smooth, (vt_u, vt_v))
+    if not smoothed:
+        vt_u, vt_v = lax.fori_loop(0, p.nit_ow, smooth, (vt_u, vt_v))
 
     # ice-ocean drag diagnostic from mean speed (reference: fe.cpp:10616-10630)
     um_u = 0.5 * (vt_u + vtm_u)

@@ -483,3 +483,107 @@ def test_wim_coupled_sharded_run(mesh8, tmp_path):
         np.asarray(s2.wim.ice["dfloe"]), np.asarray(s1.wim.ice["dfloe"]),
         rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("H", [1, 3])
+def test_ring_layout_conversions_match_gather(mesh8, H):
+    """The shard-local strip-exchange layout conversions (round 5:
+    _local_*_to_ext / _local_ext_to_*) are BITWISE the gather-based
+    to_ext_*/from_ext_* oracle — O((dp+H)*n) bytes exchanged instead of an
+    all-gather-shaped reshuffle per plane (VERDICT r4 #1)."""
+    from jax import lax, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from nextsim_tpu.parallel import seam
+
+    dpy, dpx = mesh8.devices.shape
+    By, Bx = 8, 8
+    ny, nx = dpy * By, dpx * Bx
+    rng = np.random.default_rng(11)
+    cell = jnp.asarray(rng.normal(size=(ny, nx)).astype(np.float32))
+    node = jnp.asarray(rng.normal(size=(ny + 1, nx + 1)).astype(np.float32))
+    assert seam.ring_conversion_supported(dpy, dpx, By, Bx, H)
+
+    # forward: global -> ext
+    want_c = np.asarray(seam.to_ext_cells(cell, dpy, dpx, By, Bx, H))
+    want_n = np.asarray(seam.to_ext_nodes(node, dpy, dpx, By, Bx, H))
+    node_p = jnp.pad(
+        node, ((0, dpy * (By + 1) - (ny + 1)), (0, dpx * (Bx + 1) - (nx + 1)))
+    )
+
+    def fwd(cl, nl):
+        a = lax.axis_index("y")
+        b = lax.axis_index("x")
+        return (
+            seam._local_cells_to_ext(cl, a, b, By, Bx, ny, nx, H),
+            seam._local_nodes_to_ext(nl, a, b, dpy, dpx, By, Bx, ny, nx, H),
+        )
+
+    got_c, got_n = shard_map(
+        fwd, mesh=mesh8, in_specs=(P("y", "x"), P("y", "x")),
+        out_specs=(P("y", "x"), P("y", "x")),
+    )(cell, node_p)
+    np.testing.assert_array_equal(np.asarray(got_c), want_c)
+    np.testing.assert_array_equal(np.asarray(got_n), want_n)
+
+    # inverse: ext -> global (cells) / end-padded shards (nodes)
+    def inv(ec, en):
+        a = lax.axis_index("y")
+        b = lax.axis_index("x")
+        return (
+            seam._local_ext_to_cells(ec, H),
+            seam._local_ext_to_nodes(en, a, b, dpy, dpx, By, Bx, ny, nx, H),
+        )
+
+    back_c, back_n = shard_map(
+        inv, mesh=mesh8, in_specs=(P("y", "x"), P("y", "x")),
+        out_specs=(P("y", "x"), P("y", "x")),
+    )(jnp.asarray(want_c), jnp.asarray(want_n))
+    np.testing.assert_array_equal(np.asarray(back_c), np.asarray(cell))
+    np.testing.assert_array_equal(np.asarray(back_n), np.asarray(node_p))
+
+
+@pytest.mark.parametrize("dyn_type", ["bbm", "mevp"])
+def test_dynamics_loop_matches_gather_fallback(mesh8, monkeypatch, dyn_type):
+    """The layout-resident dynamics_loop (strip-exchange conversions + the
+    OW smoother inside the shard_map region) equals the gather-based
+    substep_loop + global smoother fallback — including the mEVP
+    displacement accumulation order (ut from the PRE-smoother velocity,
+    reference fe.cpp:10563-10567 vs 10576-10611)."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+    from nextsim_tpu.parallel import seam
+
+    over = {
+        "grid.nx": 32, "grid.ny": 32, "grid.resolution": 10e3,
+        "simul.timestep": 200, "dynamics.substeps": 40,
+        "setup.dynamics-type": dyn_type,
+        "thermo.use_thermo_forcing": False,
+        "setup.atmosphere-type": "constant", "setup.ocean-type": "constant",
+        "setup.ice-type": "constant_partial",
+        "ideal_simul.constant_wind_u": 8.0,
+        "simul.spinup_duration": 0.0,
+        "tpu.donate_state": False,
+        "tpu.partition_mode": "shard_map",
+    }
+    states = []
+    for resident in (True, False):
+        if not resident:
+            monkeypatch.setattr(
+                seam, "ring_conversion_supported", lambda *a: False
+            )
+        sim = Simulator(Config(overrides=over), mesh=mesh8)
+        f = shard_tree(
+            sim.forcing_provider(sim.current_time, sim.time_init), mesh8
+        )
+        t = sim.time_info()
+        s = sim.state
+        for _ in range(2):
+            s, _, _ = sim._step_fn(s, f, t)
+        states.append(s)
+    a, b = states
+    for name in ("conc", "thick", "damage", "vt_u", "vt_v", "ut_u", "ut_v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            rtol=1e-6, atol=1e-8, err_msg=name,
+        )
