@@ -243,6 +243,23 @@ def test_grad_wrt_thermo_parameter(tmp_path):
     if abs(fd) > 1e-8:
         np.testing.assert_allclose(g, fd, rtol=0.2)
 
+    # the volume/SST response to albedo over ONE step sits below the f32
+    # ULP of the loss (fd can be exactly 0 above), so the BINDING FD check
+    # uses the net-shortwave diagnostic — an instantaneous, strong function
+    # of the albedo (qsw_ice = -Qsw_in*(1-alb)*(1-pen), fe.cpp:6305-6309)
+    def loss_sw(alb):
+        p = dataclasses.replace(sim._thermo_params, alb_ice=alb)
+        _, diag = thermo_ops.thermo_step(
+            sim.state, f, ga, sim.dt, cfg_params=p, tinfo=ti,
+        )
+        return jnp.mean(diag["qsw"])
+
+    lsw = jax.jit(loss_sw)
+    gsw = float(jax.jit(jax.grad(loss_sw))(alb0))
+    fd_sw = (float(lsw(alb0 + eps)) - float(lsw(alb0 - eps))) / (2 * eps)
+    assert fd_sw != 0.0
+    np.testing.assert_allclose(gsw, fd_sw, rtol=0.05)
+
 
 @pytest.mark.parametrize("ttype", ["winton", "zero-layer"])
 def test_grad_thermo_adversarial_zeros(tmp_path, ttype):
