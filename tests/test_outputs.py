@@ -346,6 +346,39 @@ def test_simulator_drifters_move_with_ut(tmp_path):
     assert len(d.records) >= 2
 
 
+def test_drifter_records_chunked_match_per_step(tmp_path):
+    """Drifter record times AND positions under fused stepping equal the
+    per-step path when k divides the cadence (the run() clamp guarantees
+    divisibility; ADVICE r4 — a k merely <= the cadence stretched the
+    sampling). Reference: checkMoveDrifters timing, fe.cpp:8375-8403."""
+    sims = []
+    for k in (1, 2):
+        cfg = toy_cfg(tmp_path / f"k{k}", **{
+            "moorings.use_moorings": False,
+            "drifters.use_equally_spaced_drifters": True,
+            "drifters.spacing": 80.0,
+            # drifter cadence = 2 steps
+            "drifters.equally_spaced_drifters_output_time_step": 2 * 200.0 / 86400.0,
+            "setup.ice-type": "constant",
+            "simul.duration": 8 * 200.0 / 86400.0,
+            "tpu.steps_per_call": k,
+            "tpu.donate_state": False,
+        })
+        (tmp_path / f"k{k}").mkdir(exist_ok=True)
+        sim = Simulator(cfg)
+        sim.run()
+        sims.append(sim)
+    d1, d2 = sims[0].drifters[0], sims[1].drifters[0]
+    assert sims[1]._chunk_k == 2
+    t1 = [r["time"] for r in d1.records]
+    t2 = [r["time"] for r in d2.records]
+    assert t1 == t2 and len(t1) >= 3  # records at exactly the same times
+    for ra, rb in zip(d1.records, d2.records):
+        np.testing.assert_array_equal(ra["ids"], rb["ids"])
+        np.testing.assert_allclose(ra["lat"], rb["lat"], rtol=0, atol=2e-6)
+        np.testing.assert_allclose(ra["lon"], rb["lon"], rtol=0, atol=2e-5)
+
+
 def test_overlap_remap_conserves_noninteger_ratio():
     """Arbitrary-ratio conservative remap (ConservativeRemappingMeshToGrid
     analog) conserves the area integral and reproduces constants."""
