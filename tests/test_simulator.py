@@ -219,10 +219,12 @@ def test_steps_per_call_time_varying_forcing(tmp_path):
 
 @pytest.mark.slow
 def test_chunked_exports_not_skipped(tmp_path):
-    """Interval outputs fire under fused stepping even when
-    tpu.steps_per_call does not divide the export interval (a modulo check
-    would skip every export when pcpt advances 3 at a time past an
-    interval of 4)."""
+    """Interval snapshots under fused stepping fire at EXACTLY the
+    configured interval: the round-5 joint clamp forces k to divide the
+    snapshot interval (k=3 with a 4-step interval clamps to 2), so exports
+    land at steps 4, 8, 12 — the reference's exact cadence — instead of
+    stretching to chunk boundaries (and a modulo check would have skipped
+    every export)."""
     import glob
 
     from nextsim_tpu.config import Config
@@ -247,11 +249,11 @@ def test_chunked_exports_not_skipped(tmp_path):
     })
     sim = Simulator(cfg)
     sim.run()
+    assert sim._chunk_k == 2  # clamped: 3 does not divide the 4-step interval
     snaps = [p for p in glob.glob(str(tmp_path / "field_*.npz"))
              if "final" not in p]
-    # interval anchors at each fire: due at 4 -> fires at boundary 6; next
-    # due 10 -> fires at 12. A modulo check (old behavior) fires never.
-    assert len(snaps) == 2, snaps
+    # exact cadence: exports at steps 4, 8 and 12
+    assert len(snaps) == 3, snaps
 
 
 @pytest.mark.slow
