@@ -51,6 +51,18 @@ def gather_to_host(tree):
     import jax
 
     if jax.process_count() == 1:
+        # pipeline the D2H copies: issue every leaf's transfer before the
+        # first blocking convert, so N leaves can overlap on the link
+        # instead of serialising. Measured NEUTRAL through the remote-TPU
+        # tunnel (the runtime already overlaps converts there) but it can
+        # only help, and values are bit-identical to plain per-leaf
+        # np.asarray.
+        for v in jax.tree_util.tree_leaves(tree):
+            if isinstance(v, jax.Array):
+                try:
+                    v.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — backend may not support it
+                    break
         return jax.tree.map(
             lambda v: None if v is None else np.asarray(v), tree
         )
