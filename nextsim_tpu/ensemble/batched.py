@@ -248,8 +248,21 @@ class BatchedEnsemble:
         for name in self.sim.moorings.names:
             if name in VECTOR_VARIABLES:
                 (unm, *_, uf), (vnm, *_, vf) = VECTOR_VARIABLES[name]
-                add(unm, getattr(states, uf))
-                add(vnm, getattr(states, vf))
+                u, v = getattr(states, uf), getattr(states, vf)
+                if not self.sim.moorings.false_easting:
+                    # rotate each MEMBER to east/north before the statistics
+                    # (rotation is linear so the mean commutes, but the
+                    # component std does not — rotating stds would be
+                    # wrong). _write_record's own rotation only matches the
+                    # bare siu/siv keys, so *_mean/*_std must arrive
+                    # already oriented; angle at the model nodes (the
+                    # regular path rotates after remap at the output-grid
+                    # longitude — difference is second order in the angle
+                    # variation across a cell).
+                    c, s = self._node_rot()
+                    u, v = c * u - s * v, s * u + c * v
+                add(unm, u)
+                add(vnm, v)
                 continue
             mv = MOORING_VARIABLES.get(name)
             if mv is None or mv.source != "state":
@@ -261,6 +274,21 @@ class BatchedEnsemble:
                 a = a[:, mv.index]  # component axis sits after the member axis
             add(mv.nc_name, a)
         return out
+
+    def _node_rot(self):
+        """(cos, sin) of the east/north rotation angle at the model nodes
+        (reference: rotateVectors' true-easting branch, rotation - lon;
+        gridoutput.cpp:596-615)."""
+        rot = getattr(self, "_node_rot_cache", None)
+        if rot is None:
+            _, node_lon = self.sim.grid.node_latlon()
+            ang = np.deg2rad(self.sim.grid.projection.lon0) - np.deg2rad(
+                np.asarray(node_lon)
+            )
+            rot = (jnp.asarray(np.cos(ang), self.sim.dtype),
+                   jnp.asarray(np.sin(ang), self.sim.dtype))
+            self._node_rot_cache = rot
+        return rot
 
     def _maybe_output_stats(self) -> None:
         """Write an ensemble-statistics moorings record when the configured
@@ -310,8 +338,7 @@ class BatchedEnsemble:
                 "n_members": self.n,
                 "time_init": self.sim.time_init,
                 "fields": {
-                    k: [list(np.shape(v)), str(np.asarray(v).dtype)
-                        if not hasattr(v, "dtype") else str(v.dtype)]
+                    k: [list(np.shape(v)), str(v.dtype)]
                     for k, v in arrays.items()
                 },
             }
@@ -330,6 +357,16 @@ class BatchedEnsemble:
         fname = os.path.abspath(os.path.join(path, f"restart_{name}.orbax"))
         with open(fname + ".json") as f:
             sidecar = json.load(f)
+        if int(sidecar["n_members"]) != self.n:
+            raise ValueError(
+                f"checkpoint {fname} holds {sidecar['n_members']} members; "
+                f"this ensemble was built with n_members={self.n}"
+            )
+        if abs(float(sidecar["time_init"]) - self.sim.time_init) > 1e-9:
+            raise ValueError(
+                f"checkpoint time_init {sidecar['time_init']} != configured "
+                f"simul.time_init ({self.sim.time_init})"
+            )
         target = {
             k: np.zeros(tuple(shape), np.dtype(dtype))
             for k, (shape, dtype) in sidecar["fields"].items()
@@ -351,6 +388,16 @@ class BatchedEnsemble:
             self._place(jnp.asarray(data["ran"])) if "ran" in data else None
         )
         self.pcpt = int(sidecar["pcpt"])
+        if self.sim.moorings is not None:
+            # re-anchor the stats cadence on the absolute output grid, as
+            # if the run had been unbroken — otherwise the first step after
+            # a resume writes an off-cadence record (review r5)
+            moor = self.sim.moorings
+            w = moor.output_dt_days
+            elapsed = self.current_time - self.sim.time_init
+            moor._last_output_time = (
+                self.sim.time_init + math.floor(elapsed / w + 1e-9) * w
+            )
 
     def export_member_restarts(self, name: str = "final") -> list:
         """Per-member standard restarts: member k's state is written as
@@ -359,19 +406,14 @@ class BatchedEnsemble:
         so the per-process driver (ensemble/run_ensemble.py) can resume a
         forecast cycle that was advanced batched (the per-member outputs of
         the reference's scripts/ensemble/run_ensemble.sh)."""
-        import json
+        from nextsim_tpu.output.restart import restart_meta, save_npz_restart
 
         base = self.sim.cfg["output.exporter_path"]
-        meta = {
-            "pcpt": self.pcpt,
-            "time_init": self.sim.time_init,
-            "current_time": self.current_time,
-            "grid": {
-                "nx": self.sim.grid.nx, "ny": self.sim.grid.ny,
-                "dx": self.sim.grid.dx, "x0": self.sim.grid.x0,
-                "y0": self.sim.grid.y0,
-            },
-        }
+        # the counters live on the ensemble, not the template Simulator
+        meta = dict(
+            restart_meta(self.sim),
+            pcpt=self.pcpt, current_time=self.current_time,
+        )
         written = []
         for k in range(self.n):
             st = self.member_state(k)
@@ -382,9 +424,9 @@ class BatchedEnsemble:
             }
             path = os.path.join(base, f"mem_{k}", "restart")
             os.makedirs(path, exist_ok=True)
-            fname = os.path.join(path, f"restart_{name}.npz")
-            np.savez_compressed(fname, __meta__=json.dumps(meta), **arrays)
-            written.append(fname)
+            written.append(save_npz_restart(
+                os.path.join(path, f"restart_{name}.npz"), meta, arrays
+            ))
         return written
 
     # -- analysis ---------------------------------------------------------

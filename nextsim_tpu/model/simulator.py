@@ -744,12 +744,20 @@ class Simulator:
         exactly steps 0, f, 2f, ... on both paths; a direct step_chunk
         caller with a non-dividing k still never exchanges MORE often than
         configured (the old modulo-of-quotients test aliased
-        couplingfreq=10, k=4 to every 8 steps)."""
+        couplingfreq=10, k=4 to every 8 steps). A fresh/restarted
+        simulator anchors on the absolute 0, f, 2f grid — a resume at a
+        non-multiple pcpt (restart intervals need not align) waits for the
+        next multiple exactly like the unbroken run, so restart
+        continuation stays deterministic."""
+        f = self.wim_couplingfreq
         last = getattr(self, "_wim_last_pcpt", None)
-        if last is not None and self.pcpt - last < self.wim_couplingfreq:
-            return False
-        self._wim_last_pcpt = self.pcpt
-        return True
+        if last is None:
+            last = ((self.pcpt - 1) // f) * f if self.pcpt > 0 else -f
+        if self.pcpt - last >= f:
+            self._wim_last_pcpt = self.pcpt
+            return True
+        self._wim_last_pcpt = last
+        return False
 
     def _wim_exchange(self, forcing=None) -> None:
         """Run the WIM over the next coupling window and harvest wave stress

@@ -419,17 +419,23 @@ class Moorings:
         if not self.parallel and not is_writer():
             return fname
         # incremental bookkeeping happens HERE (main thread) so the async
-        # worker only ever sees an immutable batch of new records: record 0
-        # creates the file, records >= 1 are O(record) raw appends
+        # worker only ever sees immutable snapshots: record 0 creates the
+        # file, records >= 1 are O(record) raw appends. The full-history
+        # snapshot rides along for the _append fallback (changed field set)
+        # — the worker must never read the LIVE buffer, which the main
+        # thread keeps appending to.
         start = self._written.get(fname, 0)
         new = list(recs[start:])
+        all_recs = list(recs)
         self._written[fname] = len(recs)
         if self.cfg["output.async_io"]:
             from nextsim_tpu.utils import async_writer
 
-            async_writer.get_writer().submit(self._flush, fname, new, start)
+            async_writer.get_writer().submit(
+                self._flush, fname, new, start, all_recs
+            )
         else:
-            self._flush(fname, new, start)
+            self._flush(fname, new, start, all_recs)
         return fname
 
     def _filename(self, t: float) -> str:
@@ -447,10 +453,11 @@ class Moorings:
             tag = dates.datenum_to_string(self.time_init, "%Y%m%d")
         return os.path.join(self.path, f"Moorings_{tag}.nc")
 
-    def _flush(self, fname: str, recs, start: int = 0):
+    def _flush(self, fname: str, recs, start: int = 0, all_recs=None):
         """Write `recs` (records start, start+1, ...) to `fname`: a full
         scipy write when the file begins at record 0, O(record) raw appends
-        afterwards."""
+        afterwards. ``all_recs`` is the submit-time snapshot of the file's
+        FULL record history, used only by the append fallback."""
         os.makedirs(self.path, exist_ok=True)
         if not recs:
             return
@@ -466,7 +473,7 @@ class Moorings:
         if start == 0:
             self._create(fname, recs, rows, nyo, nxo)
         else:
-            self._append(fname, recs, start)
+            self._append(fname, recs, start, all_recs)
 
     def _create(self, fname: str, recs, rows, nyo: int, nxo: int):
         from scipy.io import netcdf_file
@@ -505,7 +512,7 @@ class Moorings:
         # then the field keys) — the append slab must follow it exactly
         self._var_order[fname] = list(recs[0][1].keys())
 
-    def _append(self, fname: str, recs, start: int):
+    def _append(self, fname: str, recs, start: int, all_recs=None):
         """True O(record) append: the NetCDF3 classic format stores record
         variables interleaved per record after the fixed-size data, so a new
         record is one contiguous slab at the end of the file plus a patch of
@@ -519,11 +526,9 @@ class Moorings:
         keys = self._var_order.get(fname)
         if keys is None or any(set(r[1].keys()) != set(keys) for r in recs):
             # unknown layout (e.g. resumed process) or changed field set:
-            # fall back to a full rewrite from the in-memory buffer
-            all_recs = None
-            for k, v in self._records.items():
-                if self._parallel_name(k) == fname or k == fname:
-                    all_recs = list(v)
+            # full rewrite from the SUBMIT-TIME snapshot (never the live
+            # buffer — on the async worker the main thread may have
+            # appended more records since, which would be written twice)
             if all_recs is None:
                 raise RuntimeError(f"moorings append to unknown file {fname}")
             nyo, nxo = self.out_shape
@@ -550,9 +555,6 @@ class Moorings:
             f.write(b"".join(slabs))
             f.seek(4)
             f.write(struct.pack(">i", start + len(recs)))
-
-    def _parallel_name(self, fname: str) -> str:
-        return fname[:-3] + f"_p{self.rank}.nc" if self.parallel else fname
 
 
 class _BilinearSampler:

@@ -27,6 +27,36 @@ from nextsim_tpu.core.state import State
 from nextsim_tpu.utils import dates
 
 
+def save_npz_restart(fname: str, meta: dict, arrays: dict,
+                     async_io: bool = False) -> str:
+    """Write one npz restart payload (__meta__ JSON + arrays) — the single
+    owner of the on-disk format `read_restart`/`_apply_restart` load; the
+    Simulator path and the batched-ensemble per-member export both route
+    through it so the format cannot drift."""
+    if async_io:
+        # arrays must already be host numpy (frozen at submit time); only
+        # the compression + disk write rides the worker
+        from nextsim_tpu.utils import async_writer
+
+        async_writer.get_writer().submit(
+            np.savez_compressed, fname, __meta__=json.dumps(meta), **arrays
+        )
+    else:
+        np.savez_compressed(fname, __meta__=json.dumps(meta), **arrays)
+    return fname
+
+
+def restart_meta(sim) -> dict:
+    """The meta block every restart carries (grid identity + counters)."""
+    return {
+        "pcpt": sim.pcpt,
+        "time_init": sim.time_init,
+        "current_time": sim.current_time,
+        "grid": {"nx": sim.grid.nx, "ny": sim.grid.ny, "dx": sim.grid.dx,
+                 "x0": sim.grid.x0, "y0": sim.grid.y0},
+    }
+
+
 def write_restart(sim, name: Optional[str] = None) -> str:
     cfg = sim.cfg
     path = cfg["restart.input_path"] or os.path.join(cfg["output.exporter_path"], "restart")
@@ -48,13 +78,7 @@ def write_restart(sim, name: Optional[str] = None) -> str:
         if v is None:  # optional leaves (e.g. FSD when disabled)
             continue
         arrays[f.name] = v if fmt == "orbax" else np.asarray(v)
-    meta = {
-        "pcpt": sim.pcpt,
-        "time_init": sim.time_init,
-        "current_time": sim.current_time,
-        "grid": {"nx": sim.grid.nx, "ny": sim.grid.ny, "dx": sim.grid.dx,
-                 "x0": sim.grid.x0, "y0": sim.grid.y0},
-    }
+    meta = restart_meta(sim)
     drifters = getattr(sim, "drifters", None)
     if drifters:
         for i, d in enumerate(drifters):
@@ -80,17 +104,7 @@ def write_restart(sim, name: Optional[str] = None) -> str:
         # host_state() above is the collective gather; only process 0 writes
         # (reference: writeRestart on rank 0, fe.cpp:9503-9696)
         return fname
-    if cfg["output.async_io"]:
-        # arrays are already host numpy (frozen at submit time); only the
-        # compression + disk write rides the worker (utils/async_writer.py)
-        from nextsim_tpu.utils import async_writer
-
-        async_writer.get_writer().submit(
-            np.savez_compressed, fname, __meta__=json.dumps(meta), **arrays
-        )
-    else:
-        np.savez_compressed(fname, __meta__=json.dumps(meta), **arrays)
-    return fname
+    return save_npz_restart(fname, meta, arrays, async_io=cfg["output.async_io"])
 
 
 def _write_restart_orbax(sim, path: str, name: str, meta: dict, arrays: dict) -> str:

@@ -118,6 +118,10 @@ def test_moorings_append_is_o_record_and_bitwise(tmp_path, monkeypatch):
         assert nc.variables["sic"][:].shape[0] == 4
         t = nc.variables["time"][:].copy()
         assert (np.diff(t) > 0).all()
+
+
+@pytest.mark.slow
+def test_restart_roundtrip_bitwise(tmp_path):
     cfg = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
     sim = Simulator(cfg)
     for _ in range(3):

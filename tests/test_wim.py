@@ -431,6 +431,29 @@ def test_wim_chunk_gate_never_denser_than_cadence(tmp_path):
     assert fired == [0, 12, 24]
 
 
+def test_wim_due_anchors_on_absolute_grid():
+    """_wim_due fires on the absolute 0, f, 2f step grid even when first
+    consulted mid-run (a resumed simulator whose restart landed at a
+    non-multiple pcpt): the schedule continues exactly as the unbroken
+    run's, not re-anchored at the resume step (review r5)."""
+    from types import SimpleNamespace
+
+    from nextsim_tpu.model.simulator import Simulator
+
+    # fresh run: fires at 0, then every f
+    ns = SimpleNamespace(wim_couplingfreq=10, pcpt=0)
+    fired = [p for p in range(0, 31) if
+             (setattr(ns, "pcpt", p) or Simulator._wim_due(ns))]
+    assert fired == [0, 10, 20, 30]
+
+    # resumed at pcpt=1073 (restart interval not aligned with the cadence):
+    # no exchange until the next multiple, 1080
+    ns2 = SimpleNamespace(wim_couplingfreq=10, pcpt=1073)
+    fired2 = [p for p in range(1073, 1101) if
+              (setattr(ns2, "pcpt", p) or Simulator._wim_due(ns2))]
+    assert fired2 == [1080, 1090, 1100]
+
+
 # ---------------------------------------------------------------------------
 # Isotropic scattering mode
 # ---------------------------------------------------------------------------

@@ -62,11 +62,15 @@ def collective_stats(hlo_text: str) -> dict:
         if not m:
             continue
         op = m.group(2)
-        if op.rstrip("-start").rstrip("-done") not in _COLLECTIVES and op not in _COLLECTIVES:
+        base = op
+        for suf in ("-start", "-done"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+        if base not in _COLLECTIVES:
             continue
         if op.endswith("-done"):
             continue  # counted at -start
-        d = out.setdefault(op.replace("-start", ""), {"count": 0, "bytes": 0})
+        d = out.setdefault(base, {"count": 0, "bytes": 0})
         d["count"] += 1
         d["bytes"] += _shape_bytes(m.group(1))
     return out
