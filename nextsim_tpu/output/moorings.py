@@ -499,7 +499,12 @@ class Moorings:
                 v.units = unit
                 v.standard_name = sname
                 v[:] = arr[rows].astype(np.float32)
-            keys = recs[0][1].keys()
+            # union of field keys in first-appearance order: a fallback
+            # rewrite may carry records from before a late-appearing field
+            # (e.g. a diag variable once the WIM spins up) — those records
+            # get NaN for it, matching the applyLSM missing-value style
+            keys = list(dict.fromkeys(k for r in recs for k in r[1]))
+            nan_plane = None
             for key in keys:
                 v = nc.createVariable(key, "f4", ("time", "y", "x"))
                 mv = next((m for m in MOORING_VARIABLES.values() if m.nc_name == key), None)
@@ -507,10 +512,18 @@ class Moorings:
                     v.units = mv.units.encode()
                     v.long_name = mv.long_name.encode()
                     v.standard_name = mv.std_name.encode()
-                v[:] = np.stack([r[1][key][rows] for r in recs])
+                if nan_plane is None:
+                    tmpl = next(r[1][key] for r in recs if key in r[1])
+                    nan_plane = np.full_like(
+                        np.asarray(tmpl)[rows], np.nan, dtype=np.float32
+                    )
+                v[:] = np.stack([
+                    r[1][key][rows] if key in r[1] else nan_plane
+                    for r in recs
+                ])
         # record-variable order in the header = creation order (time first,
         # then the field keys) — the append slab must follow it exactly
-        self._var_order[fname] = list(recs[0][1].keys())
+        self._var_order[fname] = keys
 
     def _append(self, fname: str, recs, start: int, all_recs=None):
         """True O(record) append: the NetCDF3 classic format stores record

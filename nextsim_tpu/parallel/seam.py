@@ -292,7 +292,11 @@ def _local_ext_to_nodes(E, a, b, dpy, dpx, B_y, B_x, ny, nx, H,
 
 def substep_loop(mesh, p, dyn_type, dte, dt, dx, consts, carry, steps,
                  halo_depth: int = 1):
-    """Run the momentum substep loop hand-scheduled over `mesh`.
+    """Run the momentum substep loop hand-scheduled over `mesh` with
+    GATHER-based layout conversions — since round 5 this is the fallback
+    (strip reach exceeded) and the independent oracle the layout-resident
+    `dynamics_loop` is pinned against; production shard_map runs go through
+    dynamics_loop.
 
     `consts` / `carry` are the global-layout planes from
     ops/momentum.explicit_solve (carry order: vt_u, vt_v, ut_u, ut_v, sxx,

@@ -120,6 +120,28 @@ def test_moorings_append_is_o_record_and_bitwise(tmp_path, monkeypatch):
         assert (np.diff(t) > 0).all()
 
 
+def test_moorings_append_fallback_on_changed_fields(tmp_path):
+    """A record batch whose field set differs from the file's layout (e.g.
+    a diag variable appearing mid-file) triggers the full-rewrite fallback
+    — from the submit-time snapshot, yielding exactly the snapshot's
+    records (review r5: the live buffer must not be read on the worker)."""
+    from scipy.io import netcdf_file
+
+    sim = Simulator(toy_cfg(tmp_path, **{"output.async_io": False}))
+    moor = sim.moorings
+    ny, nx = moor.out_shape
+    r0 = (1.0, {"sic": np.ones((ny, nx), np.float32)})
+    r1 = (2.0, {"sic": np.full((ny, nx), 0.5, np.float32),
+                "sit": np.full((ny, nx), 2.0, np.float32)})  # new field
+    fname = os.path.join(str(tmp_path), "Moorings_fb.nc")
+    moor._flush(fname, [r0], start=0)
+    moor._flush(fname, [r1], start=1, all_recs=[r0, r1])
+    with netcdf_file(fname, "r") as nc:
+        t = nc.variables["time"][:].copy()
+        np.testing.assert_array_equal(t, [1.0, 2.0])
+        assert nc.variables["sit"][:].shape[0] == 2
+
+
 @pytest.mark.slow
 def test_restart_roundtrip_bitwise(tmp_path):
     cfg = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
