@@ -587,3 +587,49 @@ def test_dynamics_loop_matches_gather_fallback(mesh8, monkeypatch, dyn_type):
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             rtol=1e-6, atol=1e-8, err_msg=name,
         )
+
+
+@pytest.mark.parametrize("shape,H", [((1, 2), 1), ((2, 2), 2), ((1, 4), 2)])
+def test_dynamics_loop_edge_mesh_shapes(shape, H):
+    """The resident loop's strip-exchange node conversions involve
+    device-indexed dynamic slices whose edge cases are dp=1 axes (the strip
+    wraps to the SAME device) and non-square meshes — pin equivalence with
+    the single-device step there too (the main test covers only (2,4))."""
+    import jax
+
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model.simulator import Simulator
+    from nextsim_tpu.parallel import seam
+    from nextsim_tpu.parallel.sharding import make_device_mesh
+
+    n = shape[0] * shape[1]
+    mesh = make_device_mesh(shape, jax.devices()[:n])
+    over = {
+        "grid.nx": 32, "grid.ny": 32, "grid.resolution": 10e3,
+        "simul.timestep": 200, "dynamics.substeps": 30,
+        "thermo.use_thermo_forcing": False,
+        "setup.atmosphere-type": "constant", "setup.ocean-type": "constant",
+        "setup.ice-type": "constant_partial",
+        "ideal_simul.constant_wind_u": 8.0,
+        "simul.spinup_duration": 0.0,
+        "tpu.donate_state": False,
+    }
+    dpy, dpx = shape
+    assert seam.ring_conversion_supported(dpy, dpx, 32 // dpy, 32 // dpx, H)
+    sim1 = Simulator(Config(overrides=over))
+    sim2 = Simulator(
+        Config(overrides={
+            **over, "tpu.partition_mode": "shard_map", "tpu.halo_depth": H,
+        }),
+        mesh=mesh,
+    )
+    f1 = sim1.forcing_provider(sim1.current_time, sim1.time_init)
+    f2 = shard_tree(sim2.forcing_provider(sim2.current_time, sim2.time_init), mesh)
+    t = sim1.time_info()
+    s1, _, _ = sim1._step_fn(sim1.state, f1, t)
+    s2, _, _ = sim2._step_fn(sim2.state, f2, t)
+    for name in ("conc", "vt_u", "vt_v", "ut_u", "damage"):
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(s2, name))
+        b = b[tuple(slice(0, d) for d in a.shape)]
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-6, err_msg=name)
