@@ -344,6 +344,69 @@ def test_coupler_grid_exchange(tmp_path):
 
 
 @pytest.mark.slow
+def test_coupled_simulator_on_exchange_grid(tmp_path):
+    """End-to-end coupled run on a coupler grid: the Simulator's puts land
+    on the exchange grid and a prescribed receive (sst + qsrml ON that
+    grid) overrides the forcing for subsequent windows through the
+    inverse remap."""
+    from scipy.io import netcdf_file
+
+    g = Grid.square(nx=16, ny=16, dx=10e3)
+    xo = g.x0 + (np.arange(8) + 0.5) * 20e3
+    yo = g.y0 + (np.arange(8) + 0.5) * 20e3
+    xg, yg = np.meshgrid(xo, yo)
+    plat, plon = g.projection.inverse(xg, yg)
+    gf = os.path.join(tmp_path, "exchange_grid.nc")
+    with netcdf_file(gf, "w", version=2) as nc:
+        nc.createDimension("y", 8)
+        nc.createDimension("x", 8)
+        for nm, arr in (("plat", plat), ("plon", plon)):
+            v = nc.createVariable(nm, "f8", ("y", "x"))
+            v[:] = np.asarray(arr)
+
+    cfg = Config(overrides={
+        "grid.nx": 16, "grid.ny": 16, "grid.resolution": 10e3,
+        "simul.timestep": 200, "dynamics.substeps": 60,
+        "setup.ocean-type": "coupled",
+        "setup.atmosphere-type": "constant",
+        "setup.ice-type": "constant",
+        "thermo.use_thermo_forcing": True,
+        "ideal_simul.init_SST_limit": 10.0,
+        "dynamics.use_coriolis": False,
+        "coupler.timestep": 400,
+        "coupler.exchange_grid_file": gf,
+        "output.exporter_path": str(tmp_path),
+        "simul.spinup_duration": 0.0,
+        "ideal_simul.constant_wind_u": 10.0,
+    })
+    sim = Simulator(cfg)
+    assert sim.coupler.exchange_grid is not None
+    # prescribe receives on the EXCHANGE grid
+    with netcdf_file(os.path.join(tmp_path, "coupler", "cpl_in.nc"),
+                     "w", version=2) as nc:
+        nc.createDimension("y", 8)
+        nc.createDimension("x", 8)
+        for nm, val in (("sst", 3.0), ("qsrml", 0.5)):
+            v = nc.createVariable(nm, "f4", ("y", "x"))
+            v[:] = np.full((8, 8), val, np.float32)
+    for _ in range(4):
+        sim.step()
+    outs = [f for f in os.listdir(os.path.join(tmp_path, "coupler"))
+            if f.startswith("cpl_out_")]
+    assert len(outs) == 2
+    with netcdf_file(os.path.join(tmp_path, "coupler", outs[0]), "r") as nc:
+        assert nc.variables["conc"][:].shape == (8, 8)  # exchange grid
+        assert "plat" in nc.variables
+    # receives reached the model forcing (interpolated back to 16x16)
+    f = sim.coupler.apply_received(
+        sim.forcing_provider(sim.current_time, sim.time_init)
+    )
+    np.testing.assert_allclose(np.asarray(f.ocean_temp), 3.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f.qsrml), 0.5, rtol=1e-5)
+    assert f.qsrml.shape == (16, 16)
+
+
+@pytest.mark.slow
 def test_coupled_simulator_runs(tmp_path):
     cfg = Config(overrides={
         "grid.nx": 16, "grid.ny": 16, "grid.resolution": 10e3,
