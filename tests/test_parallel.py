@@ -633,3 +633,74 @@ def test_dynamics_loop_edge_mesh_shapes(shape, H):
         b = np.asarray(getattr(s2, name))
         b = b[tuple(slice(0, d) for d in a.shape)]
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-6, err_msg=name)
+
+
+def test_ring_layout_conversions_fuzz(mesh8):
+    """Property sweep of the strip-exchange conversions across mesh shapes,
+    halo depths and asymmetric block sizes: every supported combination is
+    BITWISE the gather oracle in both directions (the index arithmetic —
+    device-dependent dynamic slices, one-cumulative-row misalignment — is
+    the riskiest new code of round 5)."""
+    import jax
+    from jax import lax, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from nextsim_tpu.parallel import seam
+    from nextsim_tpu.parallel.sharding import make_device_mesh
+
+    rng = np.random.default_rng(23)
+    cases = [
+        ((1, 8), 5, 24, 2),   # dp=1 y-axis; tall blocks
+        ((4, 2), 6, 10, 1),   # more devices than H+1 rows of misalignment
+        ((2, 2), 12, 6, 3),   # asymmetric blocks
+        ((8, 1), 12, 40, 2),  # dp=1 x-axis
+    ]
+    for shape, By, Bx, H in cases:
+        dpy, dpx = shape
+        mesh = make_device_mesh(shape, jax.devices()[: dpy * dpx])
+        ny, nx = dpy * By, dpx * Bx
+        assert seam.ring_conversion_supported(dpy, dpx, By, Bx, H), (shape, H)
+        cell = jnp.asarray(rng.normal(size=(ny, nx)).astype(np.float32))
+        node = jnp.asarray(rng.normal(size=(ny + 1, nx + 1)).astype(np.float32))
+        node_p = jnp.pad(
+            node,
+            ((0, dpy * (By + 1) - (ny + 1)), (0, dpx * (Bx + 1) - (nx + 1))),
+        )
+
+        def fwd(cl, nl, dpy=dpy, dpx=dpx, By=By, Bx=Bx, ny=ny, nx=nx, H=H):
+            a = lax.axis_index("y")
+            b = lax.axis_index("x")
+            return (
+                seam._local_cells_to_ext(cl, a, b, By, Bx, ny, nx, H),
+                seam._local_nodes_to_ext(nl, a, b, dpy, dpx, By, Bx, ny, nx, H),
+            )
+
+        got_c, got_n = shard_map(
+            fwd, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+            out_specs=(P("y", "x"), P("y", "x")),
+        )(cell, node_p)
+        np.testing.assert_array_equal(
+            np.asarray(got_c),
+            np.asarray(seam.to_ext_cells(cell, dpy, dpx, By, Bx, H)),
+            err_msg=f"cells {shape} H={H}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_n),
+            np.asarray(seam.to_ext_nodes(node, dpy, dpx, By, Bx, H)),
+            err_msg=f"nodes {shape} H={H}",
+        )
+
+        def inv(ec, en, dpy=dpy, dpx=dpx, By=By, Bx=Bx, ny=ny, nx=nx, H=H):
+            a = lax.axis_index("y")
+            b = lax.axis_index("x")
+            return (
+                seam._local_ext_to_cells(ec, H),
+                seam._local_ext_to_nodes(en, a, b, dpy, dpx, By, Bx, ny, nx, H),
+            )
+
+        back_c, back_n = shard_map(
+            inv, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+            out_specs=(P("y", "x"), P("y", "x")),
+        )(got_c, got_n)
+        np.testing.assert_array_equal(np.asarray(back_c), np.asarray(cell))
+        np.testing.assert_array_equal(np.asarray(back_n), np.asarray(node_p))
