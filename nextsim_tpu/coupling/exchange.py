@@ -122,11 +122,7 @@ class Coupler:
         point = _PointSampler(
             g.x0 + 0.5 * g.dx, g.y0 + 0.5 * g.dx, g.dx, g.shape, xq, yq
         )
-        cy, cx = np.meshgrid(
-            g.y0 + (np.arange(g.ny) + 0.5) * g.dx,
-            g.x0 + (np.arange(g.nx) + 0.5) * g.dx,
-            indexing="ij",
-        )
+        cx, cy = g.cell_xy()
         cell_lat, cell_lon = g.cell_latlon()
         # rotation angle at the coupler points: projection rotation minus
         # the grid angle (ptheta, radians) when provided, else minus the

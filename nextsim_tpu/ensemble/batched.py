@@ -307,20 +307,16 @@ class BatchedEnsemble:
         moor._write_record(t)
 
     def write_restart(self, name: str = "batched") -> str:
-        """ONE sharded checkpoint of the whole ensemble via orbax: the
-        member axis is just another sharded dim, so every device writes its
-        members' shards in parallel (no gather). The perturbation chain
-        (keys + AR(1) carry) is saved too, so a resumed ensemble continues
-        the exact same forcing-noise stream."""
-        import json
-
-        import orbax.checkpoint as ocp
-
-        from nextsim_tpu.parallel.multihost import is_writer
+        """ONE sharded checkpoint of the whole ensemble via orbax (shared
+        writer: output/restart.py:save_orbax_checkpoint — the member axis
+        is just another sharded dim, every device writes its members'
+        shards in parallel, no gather). The perturbation chain (keys +
+        AR(1) carry) is saved too, so a resumed ensemble continues the
+        exact same forcing-noise stream."""
+        from nextsim_tpu.output.restart import save_orbax_checkpoint
 
         path = os.path.join(self.sim.cfg["output.exporter_path"], "restart")
         os.makedirs(path, exist_ok=True)
-        fname = os.path.abspath(os.path.join(path, f"restart_{name}.orbax"))
         arrays = {
             f"state_{f.name}": getattr(self.states, f.name)
             for f in dataclasses.fields(self.states)
@@ -329,34 +325,23 @@ class BatchedEnsemble:
         arrays["keys"] = self.keys
         if self._ran is not None:
             arrays["ran"] = self._ran
-        ck = ocp.StandardCheckpointer()
-        ck.save(fname, arrays, force=True)
-        ck.wait_until_finished()
-        if is_writer():
-            sidecar = {
-                "pcpt": self.pcpt,
-                "n_members": self.n,
-                "time_init": self.sim.time_init,
-                "fields": {
-                    k: [list(np.shape(v)), str(v.dtype)]
-                    for k, v in arrays.items()
-                },
-            }
-            with open(fname + ".json", "w") as f:
-                json.dump(sidecar, f, indent=1)
-        return fname
+        meta = {
+            "pcpt": self.pcpt,
+            "n_members": self.n,
+            "time_init": self.sim.time_init,
+        }
+        return save_orbax_checkpoint(
+            os.path.join(path, f"restart_{name}.orbax"), arrays, meta
+        )
 
     def read_restart(self, name: str = "batched") -> None:
         """Restore a batched-ensemble checkpoint written by write_restart
         (topology-agnostic: numpy zero templates from the sidecar spec)."""
-        import json
-
-        import orbax.checkpoint as ocp
+        from nextsim_tpu.output.restart import load_orbax_checkpoint
 
         path = os.path.join(self.sim.cfg["output.exporter_path"], "restart")
-        fname = os.path.abspath(os.path.join(path, f"restart_{name}.orbax"))
-        with open(fname + ".json") as f:
-            sidecar = json.load(f)
+        fname = os.path.join(path, f"restart_{name}.orbax")
+        data, sidecar = load_orbax_checkpoint(fname)
         if int(sidecar["n_members"]) != self.n:
             raise ValueError(
                 f"checkpoint {fname} holds {sidecar['n_members']} members; "
@@ -367,11 +352,6 @@ class BatchedEnsemble:
                 f"checkpoint time_init {sidecar['time_init']} != configured "
                 f"simul.time_init ({self.sim.time_init})"
             )
-        target = {
-            k: np.zeros(tuple(shape), np.dtype(dtype))
-            for k, (shape, dtype) in sidecar["fields"].items()
-        }
-        data = ocp.StandardCheckpointer().restore(fname, target)
         kw = {}
         for f in dataclasses.fields(self.states):
             key = f"state_{f.name}"

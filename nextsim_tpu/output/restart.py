@@ -96,7 +96,9 @@ def write_restart(sim, name: Optional[str] = None) -> str:
         # instead of re-spinning the spectrum from incident waves
         arrays["__wim_sdf"] = gather_to_host(sim.wim.sdf)
     if fmt == "orbax":
-        return _write_restart_orbax(sim, path, name, meta, arrays)
+        return save_orbax_checkpoint(
+            os.path.join(path, f"restart_{name}.orbax"), arrays, meta
+        )
     fname = os.path.join(path, f"restart_{name}.npz")
     from nextsim_tpu.parallel.multihost import is_writer
 
@@ -107,12 +109,13 @@ def write_restart(sim, name: Optional[str] = None) -> str:
     return save_npz_restart(fname, meta, arrays, async_io=cfg["output.async_io"])
 
 
-def _write_restart_orbax(sim, path: str, name: str, meta: dict, arrays: dict) -> str:
+def save_orbax_checkpoint(fname: str, arrays: dict, meta: dict) -> str:
     """Sharded checkpoint via orbax: every process writes its own shards in
     parallel (TensorStore/OCDBT under the hood) — no rank-0 gather, no
     O(global) host buffer. A JSON sidecar records meta + the leaf spec so a
     restore can run under ANY topology (different process count or mesh)
-    without trusting the checkpoint's saved shardings.
+    without trusting the checkpoint's saved shardings. Shared by the
+    Simulator restart and the batched-ensemble checkpoint.
 
     The save is synchronous-but-parallel (orbax's own multi-writer IO);
     ``output.async_io`` applies to the npz path, whose cost is the
@@ -121,7 +124,7 @@ def _write_restart_orbax(sim, path: str, name: str, meta: dict, arrays: dict) ->
 
     from nextsim_tpu.parallel.multihost import is_writer
 
-    fname = os.path.abspath(os.path.join(path, f"restart_{name}.orbax"))
+    fname = os.path.abspath(fname)
     ck = ocp.StandardCheckpointer()
     ck.save(fname, arrays, force=True)  # collective across processes
     ck.wait_until_finished()
@@ -135,14 +138,14 @@ def _write_restart_orbax(sim, path: str, name: str, meta: dict, arrays: dict) ->
     return fname
 
 
-def _read_restart_orbax(sim, path: str, basename: str):
-    """Returns (mapping, meta) shaped exactly like the npz payload: restore
-    against numpy zero-templates built from the sidecar spec, so the load is
-    topology-agnostic (a 2-process checkpoint resumes on 1 process and vice
-    versa)."""
+def load_orbax_checkpoint(fname: str):
+    """(arrays, sidecar-meta) for a checkpoint written by
+    save_orbax_checkpoint: restore against numpy zero templates built from
+    the sidecar spec, so the load is topology-agnostic (a 2-process
+    checkpoint resumes on 1 process and vice versa)."""
     import orbax.checkpoint as ocp
 
-    fname = os.path.abspath(os.path.join(path, f"restart_{basename}.orbax"))
+    fname = os.path.abspath(fname)
     with open(fname + ".json") as f:
         sidecar = json.load(f)
     fields = sidecar.pop("fields")
@@ -150,8 +153,7 @@ def _read_restart_orbax(sim, path: str, basename: str):
         k: np.zeros(tuple(shape), np.dtype(dtype))
         for k, (shape, dtype) in fields.items()
     }
-    ck = ocp.StandardCheckpointer()
-    data = ck.restore(fname, target)
+    data = ocp.StandardCheckpointer().restore(fname, target)
     return data, sidecar
 
 
@@ -166,7 +168,9 @@ def read_restart(sim, basename: Optional[str] = None) -> None:
 
     async_writer.flush()
     if cfg["restart.format"] == "orbax":
-        data, meta = _read_restart_orbax(sim, path, basename)
+        data, meta = load_orbax_checkpoint(
+            os.path.join(path, f"restart_{basename}.orbax")
+        )
         _apply_restart(sim, data, meta)
     else:
         fname = os.path.join(path, f"restart_{basename}.npz")

@@ -439,10 +439,10 @@ def dynamics_loop(mesh, p, dyn_type, dte, dt, dx, consts, carry, steps,
         )
         return carry, False
 
+    from nextsim_tpu.parallel.sharding import pad_to_mesh
+
     node_shape = (ny + 1, nx + 1)
-    pad_node = lambda v: jnp.pad(  # noqa: E731 — logical -> shard-divisible
-        v, ((0, dpy * (By + 1) - (ny + 1)), (0, dpx * (Bx + 1) - (nx + 1)))
-    )
+    pad_node = lambda v: pad_to_mesh(v, mesh)  # noqa: E731 — logical -> shard-divisible
 
     cdict = {k: v for k, v in vars(consts).items() if v is not None}
     none_keys = [k for k, v in vars(consts).items() if v is None]

@@ -78,13 +78,13 @@ def collective_stats(hlo_text: str) -> dict:
 
 def compile_step(mode: str, nx: int, ny: int, halo_depth: int, resident: bool = True):
     import jax
-    import numpy as np
 
     from nextsim_tpu.config import Config
     from nextsim_tpu.model.simulator import Simulator
     from nextsim_tpu.parallel import seam
     from nextsim_tpu.parallel.sharding import make_device_mesh, shard_tree
 
+    orig_supported = seam.ring_conversion_supported
     if not resident:
         seam.ring_conversion_supported = lambda *a: False  # gather fallback
 
@@ -104,9 +104,12 @@ def compile_step(mode: str, nx: int, ny: int, halo_depth: int, resident: bool = 
     sim = Simulator(Config(overrides=over), mesh=mesh)
     f = shard_tree(sim.forcing_provider(sim.current_time, sim.time_init), mesh)
     t = sim.time_info()
-    lowered = jax.jit(sim.raw_step_fn).lower(sim.state, f, t)
-    compiled = lowered.compile()
-    return collective_stats(compiled.as_text())
+    try:
+        lowered = jax.jit(sim.raw_step_fn).lower(sim.state, f, t)
+        compiled = lowered.compile()
+        return collective_stats(compiled.as_text())
+    finally:
+        seam.ring_conversion_supported = orig_supported
 
 
 def main(argv=None) -> int:
@@ -118,8 +121,6 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     rows = {}
-    # separate interpreter state not needed: each compile is independent,
-    # but the gather fallback monkeypatches seam — run it LAST
     rows["gspmd"] = compile_step("gspmd", args.nx, args.ny, args.halo_depth)
     rows[f"shard_map_resident_H{args.halo_depth}"] = compile_step(
         "shard_map", args.nx, args.ny, args.halo_depth, resident=True
