@@ -40,6 +40,24 @@ def test_parse_reference_toy_config():
     assert cfg["moorings.snapshot"] is True
 
 
+REF_CPL = pathlib.Path("/root/reference/config-files/cpl_run_opa4.cfg")
+
+
+@pytest.mark.skipif(not REF_CPL.exists(), reason="reference configs not mounted")
+def test_parse_reference_coupled_config():
+    """The shipped coupled reference config parses directly (a reference
+    user's production file works unchanged). NB the third shipped file,
+    nextsim.cfg, uses `ice-type=topaz` / `ocean-type=topaz` — values the
+    REFERENCE's own str2conc/str2ocean maps (fe.cpp:1314-1348) also reject
+    (the file is stale upstream); our strict schema mirrors the reference
+    code, not the stale file."""
+    cfg = Config.from_files(str(REF_CPL))
+    assert cfg["setup.ice-type"] == "nemo"
+    assert cfg["setup.ocean-type"] == "coupled"
+    assert cfg["coupler.timestep"] == 3600
+    assert cfg["setup.bathymetry-type"] == "etopo"
+
+
 def test_unknown_option_rejected():
     cfg = Config()
     with pytest.raises(KeyError):
