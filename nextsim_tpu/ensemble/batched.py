@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nextsim_tpu.core import constants as phys  # noqa: F401 (perturb step uses it)
 from nextsim_tpu.ensemble.perturbation import EnsembleForcing, PerturbationParams
 
 

@@ -764,12 +764,9 @@ class Simulator:
         + floe breakage (reference WAVES coupling: nextwim.coupling-option
         break_on_mesh — breaking applied directly to the sea-ice state;
         collapsed onto one grid here since the model grid is structured)."""
-        import dataclasses as _dc
-
         import jax.numpy as jnp
 
         from nextsim_tpu.ops.stencil import cells_to_node_sum
-        from nextsim_tpu.wim import wim as wim_mod
 
         cfg = self.cfg
         p = self.wim.p
