@@ -402,9 +402,13 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     # --- tpu (no reference counterpart)
     "tpu.dtype": (str, "float32"),
     "tpu.mesh_shape": (str, "1x1"),  # dp_y x dp_x device mesh
-    # momentum substep fori_loop unroll factor (4 measured best on v5e:
-    # deeper instruction window hides VPU transcendental latency)
-    "tpu.substep_unroll": (int, 4),
+    # momentum substep fori_loop unroll factor. 0 = auto: 4 in the
+    # cache-resident regime (measured best on v5e at <=~900^2 — the deeper
+    # instruction window hides VPU transcendental latency), 1 above ~1M
+    # cells where the loop turns HBM-streaming-bound and unrolling inflates
+    # the live working set (1216^2 measured: unroll 1 = 421, 2 = 564,
+    # 4 = 606 us/substep). Explicit values are honoured as given.
+    "tpu.substep_unroll": (int, 0),
     "tpu.donate_state": (bool, True),
     # fetch the checkFieldsFast verdict every N steps (device work still runs
     # every step; raising this only batches the host readback — useful when

@@ -82,7 +82,9 @@ class Simulator:
         self.pcpt = 0  # step counter (reference pcpt)
 
         # --- parameters ---------------------------------------------------
-        self.dyn = params.dyn_params(cfg, self.grid.dx)
+        self.dyn = params.dyn_params(
+            cfg, self.grid.dx, n_cells=self.grid.ny * self.grid.nx
+        )
         self.c_fix, self.c_alea = params.cohesion_params(cfg, self.grid.dx)
         self.use_young = cfg["thermo.newice_type"] == 4
         self.use_thermo = cfg["thermo.use_thermo_forcing"]

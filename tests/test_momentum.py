@@ -114,3 +114,19 @@ def test_no_ice_no_motion_from_stress():
     )
     s2, _ = momentum.explicit_solve(state, forcing, ga, 300.0, dyn)
     np.testing.assert_allclose(np.asarray(s2.vt_u), 0.0, atol=1e-10)
+
+
+def test_substep_unroll_auto_resolution():
+    """tpu.substep_unroll=0 (the default) auto-selects 4 in the
+    cache-resident regime and 1 past ~1M cells where the substep loop is
+    HBM-streaming-bound (v5e: 421 vs 606 us/substep at 1216^2); explicit
+    values are honoured as given."""
+    from nextsim_tpu.config import Config
+    from nextsim_tpu.model import params
+
+    cfg = Config()
+    assert params.dyn_params(cfg, 10e3, n_cells=608 * 608).substep_unroll == 4
+    assert params.dyn_params(cfg, 5e3, n_cells=1216 * 1216).substep_unroll == 1
+    assert params.dyn_params(cfg, 10e3).substep_unroll == 4  # unknown size
+    cfg2 = Config(overrides={"tpu.substep_unroll": 8})
+    assert params.dyn_params(cfg2, 5e3, n_cells=1216 * 1216).substep_unroll == 8
