@@ -439,6 +439,20 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     # substeps run with zero communication at ~2H/block redundant compute.
     # Must divide dynamics.substeps and stay under the per-device block.
     "tpu.halo_depth": (int, 1),
+    # substep-loop implementation: xla (streaming fori_loop — wins while the
+    # plane working set is cache-resident, <=~900^2 single-chip), pallas
+    # (the VMEM-blocked K-substep-grouped kernel, ops/momentum_pallas.py —
+    # amortizes HBM traffic by ~K past the capacity cliff), or auto (pallas
+    # above 1M cells on an unsharded TPU, xla otherwise; BASELINE.md
+    # capacity sweep). pallas is single-device only: multi-chip meshes keep
+    # per-chip blocks in the cache-resident regime where xla wins.
+    "tpu.substep_kernel": (str, "auto"),
+    # pallas kernel tile: interior rows per block / substeps fused per VMEM
+    # residency (= halo rows per side); both rounded up to the 8-row sublane
+    # tile (defaults from the v5e sweep in tools/pallas_capacity_bench.py)
+    "tpu.pallas_block_rows": (int, 256),
+    "tpu.pallas_group_substeps": (int, 8),
+    "tpu.pallas_unroll": (int, 1),
 }
 
 # Allowed values for enum-like string options (reference: getOptionFromMap /
@@ -469,6 +483,7 @@ ENUMS: Dict[str, List[str]] = {
     "tpu.dtype": ["float32", "bfloat16", "float64"],
     "restart.format": ["npz", "orbax"],
     "tpu.partition_mode": ["gspmd", "shard_map"],
+    "tpu.substep_kernel": ["auto", "xla", "pallas"],
     "wim.scatmod": ["dissipated", "isotropic"],
     "wim.advopt": ["notperiodic", "y-periodic", "xy-periodic"],
     "wim.fsdopt": ["PowerLawSmooth", "RG"],

@@ -79,6 +79,10 @@ def dyn_params(cfg, dx: float, n_cells=None) -> DynParams:
         nit_ow=cfg["numerics.nit_ow"],
         use_young_ice=cfg["thermo.newice_type"] == 4,
         substep_unroll=_resolve_unroll(cfg["tpu.substep_unroll"], n_cells),
+        substep_kernel=cfg["tpu.substep_kernel"],
+        pallas_block_rows=cfg["tpu.pallas_block_rows"],
+        pallas_group_substeps=cfg["tpu.pallas_group_substeps"],
+        pallas_unroll=cfg["tpu.pallas_unroll"],
         bbm=bbm,
         evp=evp,
     )

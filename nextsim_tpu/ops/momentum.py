@@ -22,6 +22,7 @@ import dataclasses
 import math
 from types import SimpleNamespace
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -52,6 +53,14 @@ class DynParams:
     mevp_beta: float = 500.0
     nit_ow: int = 50  # numerics.nit_ow open-water smoother sweeps
     substep_unroll: int = 4  # fori_loop unroll (measured best on v5e; tpu.substep_unroll)
+    # substep-loop implementation (tpu.substep_kernel): 'xla' streams the
+    # planes through XLA's fori_loop; 'pallas' runs the VMEM-blocked
+    # K-substep-grouped kernel (ops/momentum_pallas.py) — a win only in the
+    # >~1M-cell HBM-streaming regime; 'auto' picks per grid size.
+    substep_kernel: str = "auto"
+    pallas_block_rows: int = 256  # tpu.pallas_block_rows (interior rows/block)
+    pallas_group_substeps: int = 8  # tpu.pallas_group_substeps (= halo rows)
+    pallas_unroll: int = 1  # tpu.pallas_unroll (in-kernel fori_loop unroll)
     use_young_ice: bool = True  # thermo.newice_type == 4
     bbm: BBMParams = BBMParams()
     evp: EVPParams = EVPParams()
@@ -97,7 +106,8 @@ def _basal_cbu(state, forcing, ssh_cell, p: DynParams):
     )
 
 
-def _build_substep(p: DynParams, dyn_type: str, dte: float, dt: float, dx, c):
+def _build_substep(p: DynParams, dyn_type: str, dte: float, dt: float, dx, c,
+                   st=None):
     """The per-substep physics body, layout-agnostic.
 
     ``c`` is a namespace of constant planes. On the GSPMD path the planes are
@@ -105,7 +115,15 @@ def _build_substep(p: DynParams, dyn_type: str, dte: float, dt: float, dx, c):
     for the stencil reads; on the explicit shard_map path they are per-device
     seam-overlapped local blocks (parallel/seam.py) and the caller exchanges
     the velocity rings before invoking the body — one source of physics truth
-    for both schedules (reference hot loop: fe.cpp:10420-10573)."""
+    for both schedules (reference hot loop: fe.cpp:10420-10573).
+
+    ``st`` swaps the stencil provider (strain_rates / stress_divergence):
+    the default pad-and-slice stencils relate (ny+1, nx+1) node planes to
+    (ny, nx) cell planes; the blocked Pallas kernel (ops/momentum_pallas.py)
+    passes co-shaped zero-fill-shift stencils so the same body runs on its
+    uniformly-shaped VMEM blocks — one source of physics truth there too."""
+    if st is None:
+        st = stencil
 
     def substep(carry):
         # sigma carried as separate planes: avoids a (3, ny, nx) stack/unstack
@@ -113,7 +131,7 @@ def _build_substep(p: DynParams, dyn_type: str, dte: float, dt: float, dx, c):
         vt_u, vt_v, ut_u, ut_v, sxx, syy, sxy, damage = carry
 
         # ---- rheology (reference: fe.cpp:10426-10441) --------------------
-        eps11, eps22, eps12 = stencil.strain_rates(vt_u, vt_v, dx)
+        eps11, eps22, eps12 = st.strain_rates(vt_u, vt_v, dx)
         if dyn_type == "bbm":
             sxx, syy, sxy, damage = rheology.bbm_update_planes(
                 sxx, syy, sxy, damage, c.conc, c.thick,
@@ -139,7 +157,7 @@ def _build_substep(p: DynParams, dyn_type: str, dte: float, dt: float, dx, c):
             raise ValueError(dyn_type)
 
         # ---- gradient terms (reference: fe.cpp:10444-10468) --------------
-        gsu, gsv = stencil.stress_divergence(sxx, syy, sxy, c.volume, dx)
+        gsu, gsv = st.stress_divergence(sxx, syy, sxy, c.volume, dx)
         grad_u = c.grad_ssh_u + gsu
         grad_v = c.grad_ssh_v + gsv
 
@@ -377,13 +395,42 @@ def explicit_solve(
         vtm_v=vtm_v,
     )
 
-    # Hand-written Pallas substep kernels (single-block VMEM-resident and
-    # K-substep-grouped blocked variants) were built and measured in rounds
-    # 2-3 and REMOVED on evidence: the loop is VPU-compute-bound, XLA's
-    # pointwise codegen beats Mosaic's even with all HBM traffic eliminated
-    # (best blocked config 42.7 us/substep vs 37.8 us XLA at 464^2 on v5e),
-    # and the perfect all-land-tile-skip bound (21% land) is only 1.12x —
-    # below the keep bar. Full evidence table: NOTES_NEXT_ROUND.md.
+    # Substep-loop implementation choice (tpu.substep_kernel). In the
+    # cache-resident regime (<~1M cells) the loop is VPU-compute-bound and
+    # XLA's streaming fori_loop wins (round-3 measurements: best blocked
+    # Pallas config 42.7 us/substep vs 37.8 us XLA at 464^2 on v5e; the
+    # single-block and skip-kernel variants were removed on that evidence).
+    # Past the HBM cliff (~1M cells single-chip, BASELINE.md capacity sweep)
+    # the loop becomes HBM-streaming-bound and the K-substep-grouped
+    # VMEM-blocked kernel (ops/momentum_pallas.py) amortizes the plane
+    # traffic by ~K — 'auto' selects it there, and only there.
+    use_pallas = False
+    if p.substep_kernel == "pallas":
+        if mesh is not None:
+            raise ValueError(
+                "tpu.substep_kernel=pallas is single-device only (multi-chip "
+                "meshes keep per-chip blocks in the cache-resident regime "
+                "where the XLA loop wins); unset tpu.mesh_shape or use "
+                "tpu.substep_kernel=auto"
+            )
+        use_pallas = True
+    elif (
+        p.substep_kernel == "auto"
+        and mesh is None
+        and partition_mode == "gspmd"
+        and jax.default_backend() == "tpu"
+        and mask.shape[0] * mask.shape[1] > 1_000_000
+    ):
+        use_pallas = True
+    if use_pallas:
+        try:
+            # the kernel closes over dx as a compile-time constant; grid
+            # constants are closure-captured in the simulator so this is
+            # concrete at trace time
+            float(dx)
+        except TypeError:
+            use_pallas = False
+
     carry = (
         vt_u, vt_v, state.ut_u, state.ut_v,
         state.sigma[0], state.sigma[1], state.sigma[2], state.damage,
@@ -407,6 +454,15 @@ def explicit_solve(
         carry, smoothed = seam.dynamics_loop(
             mesh, p, dyn_type, dte, dt, dx, consts, carry, steps,
             halo_depth=halo_depth, smoother=(ow, nbr_rden, p.nit_ow),
+        )
+    elif use_pallas:
+        from nextsim_tpu.ops import momentum_pallas
+
+        carry = momentum_pallas.substep_loop_blocked(
+            consts, carry, steps, dte, dt, float(dx), dyn_type, p,
+            block_rows=p.pallas_block_rows,
+            group_substeps=p.pallas_group_substeps,
+            unroll=p.pallas_unroll,
         )
     else:
         body = _build_substep(p, dyn_type, dte, dt, dx, consts)
