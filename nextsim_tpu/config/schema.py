@@ -449,9 +449,13 @@ OPTIONS: Dict[str, Tuple[Any, Any]] = {
     "tpu.substep_kernel": (str, "auto"),
     # pallas kernel tile: interior rows per block / substeps fused per VMEM
     # residency (= halo rows per side); both rounded up to the 8-row sublane
-    # tile (defaults from the v5e sweep in tools/pallas_capacity_bench.py)
+    # tile. Defaults from the v5e sweep at 1216^2
+    # (tools/pallas_capacity_bench.py): B=256 K=24 = 1.22x the XLA loop
+    # (B>=384 overflows VMEM, K=40 is past the amortization knee).
+    # pallas_unroll: Mosaic supports only 1 (loop) or full-group unroll —
+    # any value > 1 means "fully unroll each K-substep group".
     "tpu.pallas_block_rows": (int, 256),
-    "tpu.pallas_group_substeps": (int, 8),
+    "tpu.pallas_group_substeps": (int, 24),
     "tpu.pallas_unroll": (int, 1),
 }
 

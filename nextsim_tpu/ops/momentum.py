@@ -59,8 +59,8 @@ class DynParams:
     # >~1M-cell HBM-streaming regime; 'auto' picks per grid size.
     substep_kernel: str = "auto"
     pallas_block_rows: int = 256  # tpu.pallas_block_rows (interior rows/block)
-    pallas_group_substeps: int = 8  # tpu.pallas_group_substeps (= halo rows)
-    pallas_unroll: int = 1  # tpu.pallas_unroll (in-kernel fori_loop unroll)
+    pallas_group_substeps: int = 24  # tpu.pallas_group_substeps (= halo rows)
+    pallas_unroll: int = 1  # tpu.pallas_unroll (1 or full-group unroll)
     use_young_ice: bool = True  # thermo.newice_type == 4
     bbm: BBMParams = BBMParams()
     evp: EVPParams = EVPParams()

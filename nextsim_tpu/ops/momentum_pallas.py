@@ -189,11 +189,16 @@ def _kernel(
     body = momentum._build_substep(p, dyn_type, dte, dt, dx, c, st=_CO_STENCIL)
 
     # number of substeps this group runs; static when groups divide steps
-    # (the production case: 120 % 8 == 0) so fori_loop may unroll
+    # (the production case: 120 % 8 == 0). Mosaic's fori_loop supports only
+    # unroll=1 or full unroll, so any unroll>1 means "fully unroll the
+    # group" — and a short last group (traced trip count) forces 1.
     if steps % group == 0:
         k_this = group
+        if unroll != 1:
+            unroll = group
     else:
         k_this = jnp.minimum(group, steps - g * group)
+        unroll = 1
     init = tuple(state_vmem[k] for k in range(_N_STATE))
     out = lax.fori_loop(0, k_this, lambda _, cr: body(cr), init, unroll=unroll)
 

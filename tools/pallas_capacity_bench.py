@@ -80,6 +80,58 @@ def timed(fn, state, reps: int) -> float:
     return best
 
 
+def e2e(n: int, kernel: str, tile: str, n_steps: int, reps: int) -> float:
+    """Full-Simulator chunked step timing (the BASELINE.md capacity-sweep
+    configuration: arctic preset, tpu.steps_per_call=10, thermo off) — the
+    honest end-to-end number where the substep loop competes with the whole
+    program's HBM working set."""
+    from nextsim_tpu.model.simulator import Simulator
+
+    b, k, u = (int(x) for x in tile.split("x"))
+    dx = 10e3 * 464 / n  # keep the pan-Arctic footprint
+    cfg = Config(
+        overrides={
+            "grid.preset": "arctic",
+            "grid.nx": n,
+            "grid.ny": n,
+            "grid.resolution": dx,
+            "simul.timestep": 200,
+            "simul.time_init": "2015-10-16 00:00:00",
+            "dynamics.substeps": 120,
+            "dynamics.alea_factor": 0.33,
+            "thermo.use_thermo_forcing": False,
+            "setup.ice-type": "constant",
+            "setup.atmosphere-type": "constant",
+            "setup.ocean-type": "constant",
+            "ideal_simul.constant_wind_u": 10.0,
+            "ideal_simul.constant_wind_v": -3.0,
+            "dynamics.use_coriolis": True,
+        }
+    )
+    cfg.set("tpu.steps_per_call", 10)
+    cfg.set("tpu.substep_kernel", kernel)
+    cfg.set("tpu.pallas_block_rows", b)
+    cfg.set("tpu.pallas_group_substeps", k)
+    cfg.set("tpu.pallas_unroll", u)
+    sim = Simulator(cfg)
+    kk = sim._chunk_k
+    forcing = sim.forcing_provider(sim.current_time, sim.time_init)
+    tinfo = sim.time_info()
+    f_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *([forcing] * (kk - 1)))
+    ti_rest = jax.tree.map(lambda *xs: jnp.stack(xs), *([tinfo] * (kk - 1)))
+    chunk = sim._build_chunk_fn(kk)
+    state, *_ = chunk(sim.state, forcing, f_rest, tinfo, ti_rest)
+    jax.block_until_ready(state)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_steps // kk):
+            state, *_ = chunk(state, forcing, f_rest, tinfo, ti_rest)
+        jax.block_until_ready(state)
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+    return best
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[1216])
@@ -95,9 +147,30 @@ def main() -> None:
         default=["128x8x1", "256x8x1", "256x16x1", "512x8x1", "256x8x2"],
         help="pallas tiles as BLOCK_ROWSxGROUP_SUBSTEPSxUNROLL",
     )
+    ap.add_argument(
+        "--e2e", action="store_true",
+        help="race the kernels through the full Simulator chunk program "
+        "(BASELINE capacity-sweep config) instead of the isolated solve",
+    )
     args = ap.parse_args()
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind}  backend: {jax.default_backend()}")
+
+    if args.e2e:
+        for n in args.sizes:
+            t_xla = e2e(n, "xla", "256x16x1", 30, args.reps)
+            print(json.dumps({
+                "grid": f"{n}x{n}", "path": "xla", "e2e_ms_per_step":
+                round(t_xla * 1e3, 3), "vs_xla": 1.0,
+            }))
+            for tile in args.tiles:
+                t = e2e(n, "pallas", tile, 30, args.reps)
+                print(json.dumps({
+                    "grid": f"{n}x{n}", "path": "pallas", "tile": tile,
+                    "e2e_ms_per_step": round(t * 1e3, 3),
+                    "vs_xla": round(t_xla / t, 3),
+                }))
+        return
 
     for n in args.sizes:
         state, forcing, dyn, ga = make_setup(n, substeps=args.substeps)
