@@ -256,6 +256,17 @@ class Coupler:
                     u, v = raw[ukey], raw[vkey]
                     raw[ukey] = eg["cos"] * u + eg["sin"] * v
                     raw[vkey] = -eg["sin"] * u + eg["cos"] * v
+                elif on_eg.get(ukey) or on_eg.get(vkey):
+                    # one component on the exchange grid without its partner
+                    # cannot be rotated back to model x/y — applying it
+                    # unrotated would be a silently mis-oriented forcing
+                    raise ValueError(
+                        f"coupler receive: vector pair ({ukey}, {vkey}) must "
+                        "arrive together on the exchange grid (got "
+                        f"{ukey}: {on_eg.get(ukey)}, {vkey}: {on_eg.get(vkey)}"
+                        ") — the grid-orientation rotation needs both "
+                        "components"
+                    )
             for name, v in raw.items():
                 if on_eg[name]:
                     # coupler grid -> model cells (the ExternalData

@@ -91,6 +91,7 @@ class BatchedEnsemble:
         # perturbation is discarded) carries a key/carry so the leading axis
         # divides the mesh; member m>=1 keys match the unsharded path
         first = 0 if mesh is not None else 1
+        self._seed = seed
         self.keys = self._place(jax.vmap(
             lambda m: jax.random.PRNGKey(seed * 1000003 + m)
         )(jnp.arange(first, n_members)))
@@ -356,16 +357,47 @@ class BatchedEnsemble:
             key = f"state_{f.name}"
             cur = getattr(self.states, f.name)
             if key in data:
-                kw[f.name] = self._place(
-                    jnp.asarray(data[key], cur.dtype if cur is not None else None)
-                )
+                arr = jnp.asarray(data[key], cur.dtype if cur is not None else None)
+                if cur is not None and arr.shape != cur.shape:
+                    # a 3-D ('member','y','x') mesh end-pads node planes to
+                    # shard-divisible shapes; a checkpoint written under one
+                    # padding cannot be silently reinterpreted under another
+                    raise ValueError(
+                        f"checkpoint {fname} holds {key} with shape "
+                        f"{arr.shape} but this ensemble's layout expects "
+                        f"{cur.shape} — batched checkpoints written under a "
+                        "3-D member mesh restore only into the same spatial "
+                        "mesh shape (for topology changes use "
+                        "export_member_restarts + per-member Simulators)"
+                    )
+                kw[f.name] = self._place(arr)
             else:
                 kw[f.name] = None
         self.states = type(self.states)(**kw)
-        self.keys = self._place(jnp.asarray(data["keys"], jnp.uint32))
-        self._ran = (
-            self._place(jnp.asarray(data["ran"])) if "ran" in data else None
-        )
+        # The key/carry arrays have a layout-dependent member-axis length:
+        # n with a member mesh (slot 0 = discarded control placeholder),
+        # n-1 without. Reconcile so a checkpoint crosses between a 1-D
+        # member mesh and the unsharded batch (member m>=1 streams are
+        # identical by construction; the slot-0 entries are regenerated /
+        # dropped, never consumed).
+        keys = jnp.asarray(data["keys"], jnp.uint32)
+        ran = jnp.asarray(data["ran"]) if "ran" in data else None
+        want = self.n if self.member_mesh is not None else self.n - 1
+        if keys.shape[0] == want + 1:
+            keys = keys[1:]
+            ran = ran[1:] if ran is not None else None
+        elif keys.shape[0] == want - 1:
+            key0 = jax.random.PRNGKey(self._seed * 1000003)[None]
+            keys = jnp.concatenate([key0, keys])
+            if ran is not None:
+                ran = jnp.concatenate([jnp.zeros_like(ran[:1]), ran])
+        elif keys.shape[0] != want:
+            raise ValueError(
+                f"checkpoint {fname} carries {keys.shape[0]} member keys; "
+                f"this layout expects {want}"
+            )
+        self.keys = self._place(keys)
+        self._ran = self._place(ran) if ran is not None else None
         self.pcpt = int(sidecar["pcpt"])
         if self.sim.moorings is not None:
             # re-anchor the stats cadence on the absolute output grid, as

@@ -93,7 +93,9 @@ def _resolve_unroll(configured: int, n_cells) -> int:
     cache-resident, 1 in the HBM-streaming regime where unrolling inflates
     the live set (v5e measurements in config/schema.py; the crossover sits
     between 896^2=0.8M cells, still on the flat cost line, and
-    1216^2=1.5M)."""
+    1216^2=1.5M). ``n_cells`` is the PER-DEVICE cell count — the regime is
+    set by each chip's block, not the global grid (simulator.py divides by
+    the mesh size)."""
     if configured:
         return configured
     if n_cells is not None and n_cells > 1_000_000:

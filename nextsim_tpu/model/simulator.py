@@ -82,8 +82,11 @@ class Simulator:
         self.pcpt = 0  # step counter (reference pcpt)
 
         # --- parameters ---------------------------------------------------
+        # auto tuning decisions (substep unroll) key on the PER-DEVICE cell
+        # count: a sharded big grid keeps each chip's block cache-resident
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
         self.dyn = params.dyn_params(
-            cfg, self.grid.dx, n_cells=self.grid.ny * self.grid.nx
+            cfg, self.grid.dx, n_cells=self.grid.ny * self.grid.nx // n_dev
         )
         self.c_fix, self.c_alea = params.cohesion_params(cfg, self.grid.dx)
         self.use_young = cfg["thermo.newice_type"] == 4

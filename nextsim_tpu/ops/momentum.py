@@ -413,6 +413,24 @@ def explicit_solve(
                 "where the XLA loop wins); unset tpu.mesh_shape or use "
                 "tpu.substep_kernel=auto"
             )
+        if jnp.result_type(state.vt_u) != jnp.float32:
+            raise ValueError(
+                "tpu.substep_kernel=pallas supports float32 state only (the "
+                "kernel's DMA tiling hard-codes the f32 (8, 128) sublane "
+                "tile); set tpu.dtype=float32 or substep_kernel=xla"
+            )
+        try:
+            # the kernel closes over dx as a compile-time constant; grid
+            # constants are closure-captured in the simulator so this is
+            # concrete at trace time
+            float(dx)
+        except TypeError:
+            raise ValueError(
+                "tpu.substep_kernel=pallas needs a concrete delta_x at trace "
+                "time (it compiles into the kernel); grid_arrays['delta_x'] "
+                "is traced here — close over it or use substep_kernel=auto/"
+                "xla"
+            ) from None
         use_pallas = True
     elif (
         p.substep_kernel == "auto"
@@ -420,16 +438,15 @@ def explicit_solve(
         and partition_mode == "gspmd"
         and jax.default_backend() == "tpu"
         and mask.shape[0] * mask.shape[1] > 1_000_000
+        # the kernel's DMA tiling hard-codes the float32 (8, 128) sublane
+        # tile; bf16 state would need 16-row-aligned halos
+        and jnp.result_type(state.vt_u) == jnp.float32
     ):
-        use_pallas = True
-    if use_pallas:
         try:
-            # the kernel closes over dx as a compile-time constant; grid
-            # constants are closure-captured in the simulator so this is
-            # concrete at trace time
             float(dx)
+            use_pallas = True
         except TypeError:
-            use_pallas = False
+            use_pallas = False  # traced dx: auto quietly keeps the XLA loop
 
     carry = (
         vt_u, vt_v, state.ut_u, state.ut_v,

@@ -31,8 +31,8 @@ Implementation notes:
     calls momentum._build_substep with a co-shaped stencil provider
     (strain_rates / stress_divergence re-expressed as zero-fill shifts with
     the exact same factored arithmetic, term order included) — one source
-    of physics truth, bitwise-matching in interpret mode
-    (tests/test_momentum.py::test_pallas_blocked_*).
+    of physics truth, with the blocking pinned bitwise across tile
+    configurations (tests/test_momentum_pallas.py).
 """
 
 from __future__ import annotations

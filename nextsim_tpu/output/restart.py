@@ -228,6 +228,18 @@ def _apply_restart(sim, data, meta) -> None:
     else:
         raise ValueError(f"restart.type {rtype!r}")
 
+    # Re-anchor step-cadence state on the restored counter. read_restart may
+    # be called on a Simulator that already stepped (tools, DA cycles): a
+    # stale _wim_last_pcpt would de-anchor the WIM exchange from the
+    # absolute 0, f, 2f grid after the pcpt jump (extend resets pcpt to 0;
+    # continue may move it forward), and check/export batching would
+    # measure from the pre-restart counter.
+    if hasattr(sim, "_wim_last_pcpt"):
+        del sim._wim_last_pcpt  # _wim_due re-derives the absolute grid
+    sim._last_check_pcpt = sim.pcpt
+    sim._last_export_pcpt = sim.pcpt
+    sim._last_restart_pcpt = sim.pcpt
+
     if cfg["restart.restart_at_rest"]:
         sim.state = sim.state.replace(
             vt_u=jnp.zeros_like(sim.state.vt_u),

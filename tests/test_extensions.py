@@ -915,3 +915,68 @@ def test_member_and_domain_sharded_ensemble(tmp_path):
             )
     # the state really is spread over all 8 devices
     assert len(ens2.states.conc.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_batched_checkpoint_crosses_member_topology(tmp_path):
+    """A batched checkpoint written under a 1-D member mesh restores into an
+    unsharded ensemble (and vice versa): the key/carry arrays carry a
+    layout-dependent member-axis length (n with a mesh — slot 0 is the
+    discarded control placeholder — vs n-1 without) and read_restart
+    reconciles it, keeping the member m>=1 perturbation streams exact.
+    A 3-D-mesh checkpoint with padded planes must refuse a mismatched
+    layout with a clear error instead of mis-shaping (review r5)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from nextsim_tpu.ensemble.batched import BatchedEnsemble
+
+    base = {
+        "grid.preset": "square",
+        "grid.nx": 16, "grid.ny": 16, "grid.resolution": 10e3,
+        "simul.timestep": 450, "simul.time_init": "2015-10-16 00:00:00",
+        "setup.dynamics-type": "free_drift",
+        "thermo.use_thermo_forcing": False,
+        "setup.ice-type": "constant",
+        "setup.atmosphere-type": "constant",
+        "setup.ocean-type": "constant",
+        "ideal_simul.constant_wind_u": 8.0,
+        "simul.spinup_duration": 0.0,
+        "tpu.donate_state": False,
+        "output.async_io": False,
+        "output.exporter_path": str(tmp_path),
+    }
+    n = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("member",))
+    ens_m = BatchedEnsemble(Config(dict(base)), n_members=n, mesh=mesh)
+    ens_m.run(2)
+    ens_m.write_restart("topo")
+
+    # mesh -> unsharded: states equal now and streams stay in lockstep
+    ens_u = BatchedEnsemble(Config(dict(base)), n_members=n, seed=77)
+    ens_u.read_restart("topo")
+    for m in range(n):
+        np.testing.assert_array_equal(
+            np.asarray(ens_u.member_state(m).conc),
+            np.asarray(ens_m.member_state(m).conc),
+        )
+    ens_m.step()
+    ens_u.step()
+    for m in range(n):
+        np.testing.assert_allclose(
+            np.asarray(ens_u.member_state(m).vt_u),
+            np.asarray(ens_m.member_state(m).vt_u),
+            rtol=2e-5, atol=5e-6, err_msg=f"member {m}",
+        )
+
+    # unsharded -> mesh: same reconciliation in the other direction
+    ens_u.write_restart("topo_u")
+    ens_m2 = BatchedEnsemble(Config(dict(base)), n_members=n, mesh=mesh, seed=77)
+    ens_m2.read_restart("topo_u")
+    ens_u.step()
+    ens_m2.step()
+    np.testing.assert_allclose(
+        np.asarray(ens_m2.member_state(n - 1).vt_u),
+        np.asarray(ens_u.member_state(n - 1).vt_u),
+        rtol=2e-5, atol=5e-6,
+    )

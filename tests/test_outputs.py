@@ -892,3 +892,35 @@ def test_orbax_restart_sharded_roundtrip(tmp_path):
     })))  # no mesh
     read_restart(sim2, basename="sh")
     np.testing.assert_array_equal(np.asarray(sim2.host_state().conc), ref)
+
+
+def test_read_restart_reanchors_cadence_state(tmp_path):
+    """read_restart on an already-stepped Simulator must re-anchor the
+    step-cadence state (WIM exchange grid, check/export batching) on the
+    restored counter: a stale _wim_last_pcpt from pre-restart steps would
+    otherwise de-anchor the absolute 0, f, 2f WIM cadence after the pcpt
+    jump (review r5)."""
+    cfg = toy_cfg(tmp_path, **{"moorings.use_moorings": False})
+    sim = Simulator(cfg)
+    for _ in range(2):
+        sim.step()
+    fname = restart_mod.write_restart(sim, name="anchor")
+    assert fname
+
+    # simulate an in-place resume after more steps with WIM cadence state
+    sim.step()
+    sim.wim_couplingfreq = 10
+    sim._wim_last_pcpt = 3
+    cfg.set("restart.type", "continue")
+    restart_mod.read_restart(sim, basename="anchor")
+    assert sim.pcpt == 2
+    assert not hasattr(sim, "_wim_last_pcpt")
+    assert sim._last_check_pcpt == 2
+    assert sim._last_export_pcpt == 2
+    assert sim._last_restart_pcpt == 2
+    # _wim_due re-derives the absolute grid: pcpt=2 is past the step-0
+    # exchange, so nothing is due until step 10
+    assert sim._wim_due() is False
+    sim.pcpt = 10
+    del sim._wim_last_pcpt
+    assert sim._wim_due() is True
